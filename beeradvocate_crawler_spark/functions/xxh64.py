@@ -1,0 +1,89 @@
+"""Pure-Python XXH64, bit-compatible with Spark's ``F.xxhash64``.
+
+Spark's ``xxhash64(col)`` hashes a string column's UTF-8 bytes with
+XXH64 seed 42 and returns a *signed* 64-bit long.  The sequential
+oracle (``beeradvocate_crawler_spark.oracle``) needs the identical
+hash to produce the golden ``url_hash`` values the Spark engine is
+differentially tested against (SURVEY.md §2 A3, BASELINE.json
+north_star "keyed by canonicalized-URL xxhash64").
+
+Algorithm: XXH64 (Yann Collet, public domain, BSD-2 reference at
+github.com/Cyan4973/xxHash).  Verified against Spark in
+tests/test_xxh64.py.
+"""
+
+from __future__ import annotations
+
+_M = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_SEED = 42  # Spark's default seed for xxhash64 expressions
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _M
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _M
+
+
+def xxh64(data: bytes, seed: int = SPARK_SEED) -> int:
+    """Unsigned XXH64 of ``data``."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_signed(s: str, seed: int = SPARK_SEED) -> int:
+    """Signed 64-bit XXH64 of a string's UTF-8 bytes — exactly what
+    Spark's ``F.xxhash64(string_col)`` returns."""
+    h = xxh64(s.encode("utf-8"), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
