@@ -1,0 +1,29 @@
+"""Crawl engine configuration."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class CrawlConfig:
+    # politeness: logical seconds of crawl budget per round (§4.2 —
+    # round index is the only clock, so admission is deterministic
+    # and cluster-size-independent)
+    round_seconds: int = 16
+    max_rounds: int = 100000
+    # cuckoo-filter seen pre-filter (A8); exact anti-join stays authoritative
+    use_cuckoo: bool = True
+    n_filter_partitions: int = 8
+    filter_compact_every: int = 8  # rebuild delta blobs from `seen` every k rounds
+    # pages corpus bucketing (fetch-join pruning)
+    n_page_buckets: int = 16
+    cache_pages: bool = True  # sandbox scales only; a 100 TB corpus streams
+    # global-rank strategy: below this batch size a single-task window
+    # sorts the (politeness-bounded) batch; above it, two-phase
+    # range-partitioned ranking (operators/ordering.py)
+    big_batch_threshold: int = 1 << 20
+    # hot-host salting (A14): admitted rows of a host exceeding this
+    # count get a salt column appended to the fetch/parse partition key
+    hot_host_threshold: int = 4096
+    n_salts: int = 16

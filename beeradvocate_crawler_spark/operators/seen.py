@@ -1,0 +1,137 @@
+"""URL-seen set: cuckoo pre-filter + exact anti-join (SURVEY.md §2 A7/A8).
+
+Exactness layering (§7.1): the cuckoo filter only PRUNES — candidates
+it proves absent skip the anti-join; "maybe seen" survivors (all true
+dupes + ~0.012% false positives) still go through the exact left-anti
+join against ``seen``, which remains the authority.  A filter bug can
+cost performance, never correctness.
+
+Blob lifecycle (delta + compaction): each round inserts the round's
+new keys into a FRESH delta blob per partition (sized exactly, never
+overflows); lookup ORs membership across the partition's blobs; every
+``filter_compact_every`` rounds the blobs are rebuilt from the
+``seen`` table in one distributed pass, bounding probe cost.  At
+10^10 URLs the seen table is ~petabyte-adjacent; the filter is what
+keeps every round from shuffling it (§4.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.cuckoo import CuckooFilter
+
+BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("n_keys", T.LongType()),
+    ]
+)
+
+
+def partition_id_expr(url_hash, n_parts: int):
+    return F.pmod(url_hash, F.lit(n_parts)).cast("int")
+
+
+def dedupe_exact(candidates: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """A7: authoritative exact dedupe — hash anti-join on (url_hash, url)."""
+    if seen is None:
+        return candidates
+    return candidates.join(seen, ["url_hash", "url"], "left_anti")
+
+
+def cuckoo_prefilter(
+    candidates: DataFrame, blobs: DataFrame | None, n_parts: int
+) -> DataFrame:
+    """A8: adds ``maybe_seen`` (bool).  False => definitely new (skip
+    the anti-join).  Implemented as a cogrouped-map pandas UDF so each
+    partition's candidate batch meets its filter blobs without
+    shuffling the seen table."""
+    cand = candidates.withColumn(
+        "partition_id", partition_id_expr(F.col("url_hash"), n_parts)
+    )
+    if blobs is None:
+        return cand.withColumn("maybe_seen", F.lit(False)).drop("partition_id")
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(maybe_seen=pd.Series(dtype=bool))
+        maybe = np.zeros(len(left), dtype=bool)
+        keys = left["url_hash"].to_numpy(dtype=np.int64)
+        for b in right["blob"]:
+            maybe |= CuckooFilter.from_bytes(bytes(b)).contains(keys)
+        return left.assign(maybe_seen=maybe)
+
+    return (
+        cand.groupBy("partition_id")
+        .cogroup(blobs.groupBy("partition_id"))
+        .applyInPandas(probe, out_schema)
+        .drop("partition_id")
+    )
+
+
+def build_delta_blobs(new_rows: DataFrame, n_parts: int, rnd: int) -> DataFrame:
+    """Fresh delta blob per partition holding this round's new keys."""
+
+    def build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            for pid, g in pdf.groupby("partition_id"):
+                keys = g["url_hash"].to_numpy(dtype=np.int64)
+                cf = CuckooFilter.sized_for(len(keys))
+                cf.insert(keys)
+                yield pd.DataFrame(
+                    {
+                        "partition_id": [int(pid)],
+                        "round": [rnd],
+                        "blob": [cf.to_bytes()],
+                        "n_keys": [len(keys)],
+                    }
+                )
+
+    return (
+        new_rows.select(
+            partition_id_expr(F.col("url_hash"), n_parts).alias("partition_id"),
+            "url_hash",
+        )
+        .repartition(n_parts, "partition_id")
+        .mapInPandas(build, BLOB_SCHEMA)
+    )
+
+
+def compact_blobs(seen: DataFrame, n_parts: int, rnd: int) -> DataFrame:
+    """Rebuild one blob per partition from the full seen table — a
+    single distributed pass; bounds lookup cost to O(1) blobs/partition."""
+    out_schema = BLOB_SCHEMA
+
+    def rebuild(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["url_hash"].to_numpy(dtype=np.int64)
+        cf = CuckooFilter.sized_for(max(64, len(keys)))
+        cf.insert(keys)
+        return pd.DataFrame(
+            {
+                "partition_id": [int(key[0])],
+                "round": [rnd],
+                "blob": [cf.to_bytes()],
+                "n_keys": [len(keys)],
+            }
+        )
+
+    return (
+        seen.select(
+            partition_id_expr(F.col("url_hash"), n_parts).alias("partition_id"),
+            "url_hash",
+        )
+        .groupBy("partition_id")
+        .applyInPandas(rebuild, out_schema)
+    )

@@ -1,0 +1,369 @@
+"""The crawl round loop + exact resume (SURVEY.md §3.1/§3.2).
+
+One round = one Spark job DAG (driver orchestrates; all data paths are
+DataFrame ops; Python only at the two Arrow boundaries: parse UDF and
+cuckoo cogroup).  Every round commits a snapshot (frontier rewrite +
+seen/ledger/parsed/metrics deltas) with per-partition-free lineage
+scalars, so ``resume`` continues bit-identically (§5.3 property).
+
+Determinism inventory (§4.2): admission is a pure function of
+(frontier, host_state, round index); the batch rank is a total order;
+the discovery merge is min(struct); nothing reads wall-clock or
+partition iteration order.  Hence local[8] == local[32] == N-executor
+cluster, which is how the north rule's two-cluster-size criterion is
+evidenced in-sandbox (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..operators import links as L
+from ..operators import seen as S
+from ..operators.fetch import fetch_join
+from ..operators.frontier import (
+    DONE,
+    PENDING,
+    ROBOTS_BLOCKED,
+    merge_discoveries,
+    robots_injection,
+    seed_frontier,
+)
+from ..operators.ordering import with_global_rank
+from ..operators.parse import parse_fetched, records_from_parsed
+from ..operators.politeness import admit, mark_robots_blocked
+from ..sources.catalog import DELTA, REPLACE, SnapshotCatalog
+
+RULES_JSON_SCHEMA = "rules array<struct<ord: int, allow: boolean, prefix: string>>"
+
+
+def _read_pages(spark: SparkSession, pages_path: str, cache: bool) -> DataFrame:
+    df = spark.read.parquet(pages_path)
+    return df.persist() if cache else df
+
+
+def run(
+    spark: SparkSession,
+    pages_path: str,
+    seeds: list[str],
+    run_dir: str,
+    cfg: CrawlConfig | None = None,
+    max_rounds: int | None = None,
+) -> SnapshotCatalog:
+    """Fresh crawl: seed, then loop rounds until the frontier drains."""
+    cfg = cfg or CrawlConfig()
+    cat = SnapshotCatalog(spark, run_dir)
+    fr = seed_frontier(spark, seeds)
+    robots_rows = robots_injection(fr, None, None, 0)
+    frontier0 = fr.unionByName(robots_rows)
+    host_state0 = frontier0.select("host").distinct().select(
+        "host",
+        F.lit(0.0).alias("tokens"),
+        F.lit(1.0).alias("crawl_delay"),
+        F.lit(False).alias("robots_done"),
+    )
+    seen0 = frontier0.select("url_hash", "url", F.lit(0).alias("round"))
+    cat.write_round("frontier", frontier0, 0, REPLACE, partition_by=["state"],
+                    skip_if_empty=False, n_rows=None)
+    cat.write_round("host_state", host_state0, 0, REPLACE, skip_if_empty=False)
+    cat.write_round("seen", seen0, 0, DELTA)
+    if cfg.use_cuckoo:
+        cat.write_round(
+            "seen_filter",
+            S.build_delta_blobs(seen0, cfg.n_filter_partitions, 0),
+            0, DELTA, skip_if_empty=False,
+        )
+    cat.commit_round(0, lineage={"next_rank": 0, "config": asdict(cfg)})
+    return _loop(spark, cat, pages_path, cfg, max_rounds)
+
+
+def resume(
+    spark: SparkSession,
+    pages_path: str,
+    run_dir: str,
+    cfg: CrawlConfig | None = None,
+    max_rounds: int | None = None,
+) -> SnapshotCatalog:
+    """A18: continue from the latest committed snapshot, bit-identically.
+    Missing filter blobs (e.g. catalog copied without seen_filter) are
+    rebuilt from the authoritative ``seen`` table."""
+    cat = SnapshotCatalog(spark, run_dir)
+    m = cat.latest()
+    if m is None:
+        raise ValueError(f"no snapshot to resume in {run_dir}")
+    cfg = cfg or CrawlConfig(**{
+        k: v for k, v in (m.lineage.get("config") or {}).items()
+    })
+    if cfg.use_cuckoo and cat.read("seen_filter") is None and cat.read("seen") is not None:
+        cat.write_round(
+            "seen_filter",
+            S.compact_blobs(cat.read("seen"), cfg.n_filter_partitions, m.round),
+            m.round, REPLACE, skip_if_empty=False,
+        )
+        cat.commit_round(m.round, lineage=m.lineage, metrics=m.metrics)
+    return _loop(spark, cat, pages_path, cfg, max_rounds)
+
+
+def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
+    pages = _read_pages(spark, pages_path, cfg.cache_pages)
+    m = cat.latest()
+    next_rank = int(m.lineage.get("next_rank", 0))
+    rnd = m.round
+    rounds_done = 0
+    while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
+        rnd += 1
+        t0 = time.time()
+        progressed, next_rank = _run_round(spark, cat, pages, cfg, rnd, next_rank, t0)
+        rounds_done += 1
+        if not progressed:
+            break
+    if cfg.cache_pages:
+        pages.unpersist()
+    return cat
+
+
+def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
+    fr = cat.read("frontier")
+    hs = cat.read("host_state")
+    rules = cat.read("robots_rules")
+    seen = cat.read("seen")
+    blobs = cat.read("seen_filter") if cfg.use_cuckoo else None
+
+    pending = fr.filter(F.col("state") == PENDING).drop("state")
+    # 1. robots marking (A10)
+    blocked = mark_robots_blocked(pending, hs, rules).persist()
+    n_blocked = blocked.count()
+    pending2 = (
+        pending.join(blocked, "url", "left_anti") if n_blocked else pending
+    )
+
+    # 2. token-bucket admission (A11/A12)
+    admitted, host_updates = admit(pending2, hs, cfg.round_seconds)
+    admitted = admitted.persist()
+    n_admitted = admitted.count()
+    n_pending_after = pending2.count()
+
+    if n_pending_after == 0:
+        # drained: persist any final blocked-state marks, then stop
+        if n_blocked:
+            fr2 = _apply_state_changes(fr, blocked, None)
+            cat.write_round("frontier", fr2, rnd, REPLACE, ["state"], False)
+        cat.commit_round(rnd, lineage={"next_rank": next_rank, "drained": True,
+                                       "config": asdict(cfg)})
+        blocked.unpersist(); admitted.unpersist()
+        return False, next_rank
+
+    if n_admitted == 0:
+        # token starvation round: only state marks + refill bookkeeping
+        fr2 = _apply_state_changes(fr, blocked if n_blocked else None, None)
+        cat.write_round("frontier", fr2, rnd, REPLACE, ["state"], False)
+        hs2 = _apply_host_updates(hs, host_updates, None, None)
+        cat.write_round("host_state", hs2, rnd, REPLACE, skip_if_empty=False)
+        cat.commit_round(rnd, lineage={"next_rank": next_rank, "config": asdict(cfg)})
+        blocked.unpersist(); admitted.unpersist()
+        return True, next_rank
+
+    # 3. deterministic global order -> ledger (A20)
+    ranked = with_global_rank(
+        admitted, next_rank, n_admitted, cfg.big_batch_threshold
+    ).persist()
+    ledger = ranked.select("rank", F.lit(rnd).alias("round"), "url")
+
+    # 4. fetch-join (A13) + 5. one-pass vectorized parse (A15/A5)
+    fetched = fetch_join(ranked, pages, cfg.n_page_buckets)
+    parsed = parse_fetched(fetched).persist()
+
+    # robots results -> host updates effective next round
+    robots_res = (
+        ranked.filter(F.col("page_type") == "robots")
+        .select("url", "host")
+        .join(parsed.select("url", "record_json", "crawl_delay"), "url", "left")
+        .select(
+            "host",
+            F.lit(True).alias("robots_done_new"),
+            F.coalesce("crawl_delay", F.lit(1.0)).alias("crawl_delay_new"),
+            "record_json",
+        )
+        .persist()
+    )
+    new_rules = (
+        robots_res.filter(F.col("record_json").isNotNull())
+        .select("host", F.explode(F.from_json("record_json", RULES_JSON_SCHEMA)["rules"]).alias("r"))
+        .select("host", F.col("r.ord").alias("rule_ord"),
+                F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
+    )
+    n_new_rules = new_rules.count()
+    if n_new_rules:
+        rules2 = new_rules if rules is None else rules.unionByName(new_rules)
+        cat.write_round("robots_rules", rules2, rnd, REPLACE,
+                        skip_if_empty=False)
+
+    # 6. link discovery (A5 output + A16 pagination) -> children rows
+    html_links = parsed.select(
+        F.col("url").alias("parent_url"),
+        F.explode(F.arrays_zip("link_urls", "link_pos")).alias("z"),
+    ).select(
+        "parent_url",
+        F.col("z.link_urls").alias("link_url"),
+        F.col("z.link_pos").cast("int").alias("link_pos"),
+    )
+    pag_links = L.pagination_links(parsed)
+    all_links = html_links.unionByName(pag_links)
+    parents = ranked.select(
+        F.col("url").alias("parent_url"),
+        F.col("rank").alias("parent_ord"),
+        F.col("depth").alias("parent_depth"),
+    )
+    children = (
+        all_links.join(F.broadcast(parents), "parent_url")
+        .select(
+            F.col("link_url").alias("url"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            "parent_ord",
+            "link_pos",
+        )
+        .withColumn("page_type", L.classify_expr(F.col("url")))
+        .filter(F.col("page_type") != "other")
+        .withColumn("priority", L.priority_expr(F.col("page_type")))
+        .withColumn("host", L.host_expr(F.col("url")))
+        .withColumn("url_hash", L.url_hash_expr(F.col("url")))
+    )
+    merged = merge_discoveries(children, rnd)
+
+    # 7. seen-set dedupe: cuckoo pre-filter (A8) then exact anti-join (A7)
+    if cfg.use_cuckoo:
+        pre = S.cuckoo_prefilter(merged, blobs, cfg.n_filter_partitions)
+        definite_new = pre.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = pre.filter(F.col("maybe_seen")).drop("maybe_seen")
+        survivors = S.dedupe_exact(maybe, seen)
+        new_rows = definite_new.unionByName(survivors)
+    else:
+        new_rows = S.dedupe_exact(merged, seen)
+
+    robots_rows = robots_injection(new_rows, hs, seen, rnd)
+    new_frontier = new_rows.unionByName(robots_rows).persist()
+    n_new = new_frontier.count()
+
+    # 8. frontier rewrite + host state + deltas, one snapshot commit (A17)
+    changes = ranked.select("url", F.lit(DONE).alias("new_state"))
+    fr2 = _apply_state_changes(fr, blocked if n_blocked else None, changes)
+    fr3 = fr2.unionByName(new_frontier.select(*fr2.columns))
+    cat.write_round("frontier", fr3, rnd, REPLACE, ["state"], False)
+
+    new_hosts = (
+        new_frontier.select("host").distinct()
+        .join(hs.select("host"), "host", "left_anti")
+        .select("host", F.lit(0.0).alias("tokens"),
+                F.lit(1.0).alias("crawl_delay"), F.lit(False).alias("robots_done"))
+    )
+    hs2 = _apply_host_updates(hs, host_updates, robots_res, new_hosts)
+    cat.write_round("host_state", hs2, rnd, REPLACE, skip_if_empty=False)
+
+    seen_delta = new_frontier.select("url_hash", "url", F.lit(rnd).alias("round"))
+    cat.write_round("seen", seen_delta, rnd, DELTA, n_rows=n_new)
+    if cfg.use_cuckoo:
+        if rnd % cfg.filter_compact_every == 0:
+            all_seen = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            cat.write_round(
+                "seen_filter",
+                S.compact_blobs(all_seen, cfg.n_filter_partitions, rnd),
+                rnd, REPLACE, skip_if_empty=False,
+            )
+        elif n_new:
+            cat.write_round(
+                "seen_filter",
+                S.build_delta_blobs(new_frontier, cfg.n_filter_partitions, rnd),
+                rnd, DELTA, skip_if_empty=False,
+            )
+    cat.write_round("crawl_order", ledger, rnd, DELTA, n_rows=n_admitted)
+    cat.write_round("parsed", parsed, rnd, DELTA, n_rows=n_admitted)
+
+    # 9. per-round metrics (A19)
+    stats = (
+        parsed.groupBy("page_type")
+        .agg(
+            F.count("*").alias("n_scheduled"),
+            F.sum((F.col("fetch_status") == 200).cast("int")).alias("n_fetched"),
+            F.sum(F.size("link_urls")).alias("n_links_out"),
+            F.sum(F.length("text")).alias("text_bytes"),
+        )
+        .withColumn("round", F.lit(rnd))
+        .withColumn("n_new_urls", F.lit(n_new))
+        .withColumn("n_blocked", F.lit(n_blocked))
+        .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+    )
+    cat.write_round("round_metrics", stats, rnd, DELTA, skip_if_empty=False)
+
+    cat.commit_round(
+        rnd,
+        lineage={"next_rank": next_rank + n_admitted, "config": asdict(cfg)},
+        metrics={
+            "n_admitted": n_admitted, "n_new": n_new, "n_blocked": n_blocked,
+            "n_pending_before": n_pending_after,
+        },
+    )
+    for df in (blocked, admitted, ranked, parsed, robots_res, new_frontier):
+        df.unpersist()
+    return True, next_rank + n_admitted
+
+
+def _apply_state_changes(fr, blocked, done_changes):
+    out = fr
+    if blocked is not None:
+        out = out.join(
+            blocked.select("url", F.lit(ROBOTS_BLOCKED).alias("_blk")), "url", "left"
+        ).withColumn(
+            "state", F.coalesce(F.col("_blk"), F.col("state"))
+        ).drop("_blk")
+    if done_changes is not None:
+        out = out.join(done_changes, "url", "left").withColumn(
+            "state", F.coalesce(F.col("new_state"), F.col("state"))
+        ).drop("new_state")
+    return out
+
+
+def _apply_host_updates(hs, token_updates, robots_res, new_hosts):
+    out = hs
+    if token_updates is not None:
+        out = out.join(token_updates, "host", "left").withColumn(
+            "tokens", F.coalesce(F.col("tokens_after"), F.col("tokens"))
+        ).drop("tokens_after")
+    if robots_res is not None:
+        rr = robots_res.select("host", "robots_done_new", "crawl_delay_new")
+        out = out.join(rr, "host", "left").select(
+            "host",
+            "tokens",
+            F.coalesce("crawl_delay_new", "crawl_delay").alias("crawl_delay"),
+            (F.col("robots_done") | F.coalesce("robots_done_new", F.lit(False))).alias(
+                "robots_done"
+            ),
+        )
+    if new_hosts is not None:
+        out = out.unionByName(new_hosts)
+    return out
+
+
+# -- read-side views over the committed catalog --------------------------------
+
+def result_tables(spark: SparkSession, run_dir: str) -> dict[str, DataFrame]:
+    """Records/texts/order/seen views over the latest snapshot."""
+    cat = SnapshotCatalog(spark, run_dir)
+    parsed = cat.read("parsed")
+    out: dict[str, DataFrame] = {}
+    if parsed is not None:
+        out.update(records_from_parsed(parsed))
+        out["texts"] = parsed.filter(F.col("text").isNotNull()).select(
+            "url", "page_type", "text"
+        )
+        out["parsed"] = parsed
+    for t in ("crawl_order", "seen", "frontier", "round_metrics", "host_state",
+              "robots_rules", "seen_filter"):
+        df = cat.read(t)
+        if df is not None:
+            out[t] = df
+    return out

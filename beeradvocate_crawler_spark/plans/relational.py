@@ -1,0 +1,743 @@
+"""Relational operator surface (SURVEY.md §2.C) — one builder per
+operator family, each with a DuckDB oracle-SQL twin for the driver's
+differential harness (__spark_entry__.py contract).
+
+Conventions that keep the value-hash comparison honest:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- timestamps are emitted as epoch seconds (bigint) — Spark session TZ
+  is UTC, DuckDB is UTC-naive, epoch ints are unambiguous;
+- double aggregates are rounded (2dp for big sums, 4dp for ratios) on
+  BOTH sides to absorb summation-order FP noise;
+- deterministic tie-breaks (an id column) in every window/top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- C1/C3: scan + pushdown ----------------------------------------------------
+
+def q_scan_filter_project(spark, sf):
+    return (
+        ld(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") < "1995-01-01")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+SQL_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'
+"""
+
+# --- C11: TPC-H Q1-style hash aggregation --------------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = ld(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)      AS avg_qty,
+       round(avg(l_discount), 4)      AS avg_disc,
+       count(*)                       AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- C4: shuffled hash equi-join ------------------------------------------------
+
+def q_join_orders_customer(spark, sf):
+    o = ld(spark, sf, "orders")
+    c = ld(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_JOIN_OC = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+# --- C5: broadcast join ---------------------------------------------------------
+
+def q_broadcast_nation_region(spark, sf):
+    n = ld(spark, sf, "nation")
+    r = ld(spark, sf, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+SQL_NATION_REGION = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+# --- C6: sort-merge large-large join -------------------------------------------
+
+def q_lineitem_orders_join(spark, sf):
+    li = ld(spark, sf, "lineitem")
+    o = ld(spark, sf, "orders")
+    # hint SMJ so the physical plan exercises the merge path at any size
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_LI_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# --- C7: semi / anti joins (A7 is an anti-join) ---------------------------------
+
+def q_semi_join(spark, sf):
+    c = ld(spark, sf, "customer")
+    o = ld(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark, sf):
+    c = ld(spark, sf, "customer")
+    o = ld(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# --- C8: range (theta) join -----------------------------------------------------
+
+def q_range_join_events(spark, sf):
+    e = ld(spark, sf, "events")
+    e1 = e.select(
+        F.col("user_id"), F.col("event_id").alias("id1"), F.col("ts").alias("ts1")
+    )
+    e2 = e.select(
+        F.col("user_id"), F.col("event_id").alias("id2"), F.col("ts").alias("ts2")
+    )
+    pairs = e1.join(
+        e2,
+        (e1.user_id == e2.user_id)
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("id1") != F.col("id2")),
+    )
+    return pairs.groupBy(e1.user_id.alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e1.user_id AS user_id, count(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+ AND e1.event_id <> e2.event_id
+GROUP BY e1.user_id
+"""
+
+# --- C9: as-of join (latest event per user at a cutoff) -------------------------
+
+def q_asof_latest_event(spark, sf):
+    e = ld(spark, sf, "events").where(F.col("ts") <= "2024-01-15 00:00:00")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+SQL_ASOF = """
+SELECT user_id, event_id, epoch(ts)::BIGINT AS ts_epoch, round(value, 4) AS value
+FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+# --- C10: cross join ------------------------------------------------------------
+
+def q_cross_join(spark, sf):
+    r = ld(spark, sf, "region").select("r_name")
+    n = ld(spark, sf, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+SQL_CROSS = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+# --- C12: distinct (exact + approx) ---------------------------------------------
+
+def q_distinct_counts(spark, sf):
+    li = ld(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+SQL_DISTINCT = """
+SELECT count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(DISTINCT l_suppkey)  AS n_supps
+FROM lineitem
+"""
+
+
+def q_approx_distinct(spark, sf):
+    # sketch values are engine-specific -> rows-only check (no oracle)
+    li = ld(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+# --- C13: rollup ----------------------------------------------------------------
+
+def q_rollup_events(spark, sf):
+    e = ld(spark, sf, "events").withColumn(
+        "day_epoch", F.unix_timestamp(F.date_trunc("day", "ts"))
+    )
+    return e.rollup("event_type", "day_epoch").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+SQL_ROLLUP = """
+SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY ROLLUP (event_type, day_epoch)
+"""
+
+# --- C14: sort-based agg / ordered collect --------------------------------------
+
+def q_collect_sorted(spark, sf):
+    e = ld(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_COLLECT = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+# --- C15: ranking window (A12 twin) ----------------------------------------------
+
+def q_window_rank_orders(spark, sf):
+    o = ld(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+"""
+
+# --- C16: analytic window (lag) ---------------------------------------------------
+
+def q_window_lag(spark, sf):
+    e = ld(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT user_id, event_id, round(value, 4) AS value,
+       round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value
+FROM events
+"""
+
+# --- C17: window frames (running sum; token-bucket audit twin) --------------------
+
+def q_window_running_sum(spark, sf):
+    o = ld(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+# --- C18: global top-k -------------------------------------------------------------
+
+def q_topk_orders(spark, sf):
+    o = ld(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+# --- C19: set ops ------------------------------------------------------------------
+
+def q_set_except(spark, sf):
+    c = ld(spark, sf, "customer").select("c_custkey")
+    o = ld(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+SQL_EXCEPT = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+
+# --- C20: string functions ----------------------------------------------------------
+
+def q_string_funcs(spark, sf):
+    d = ld(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        F.upper(F.substring("text", 1, 12)).alias("head12"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("data"), F.lit(0))).alias("n_data"),
+        F.levenshtein(F.substring("text", 1, 8), F.lit("spark sql")).alias("lev"),
+    )
+
+
+SQL_STRING = r"""
+SELECT doc_id,
+       length(text) AS n_len,
+       upper(substr(text, 1, 12)) AS head12,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, 'data')) AS n_data,
+       levenshtein(substr(text, 1, 8), 'spark sql') AS lev
+FROM documents
+"""
+
+# --- C21: date/time ------------------------------------------------------------------
+
+def q_datetime_buckets(spark, sf):
+    e = ld(spark, sf, "events")
+    return (
+        e.withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("hour", "ts")))
+        .groupBy("hour_epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.unix_timestamp(F.min("ts")).alias("first_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        )
+    )
+
+
+SQL_DATETIME = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       count(*) AS n,
+       epoch(min(ts))::BIGINT AS first_epoch,
+       epoch(max(ts))::BIGINT AS last_epoch
+FROM events GROUP BY 1
+"""
+
+# --- C22: math -------------------------------------------------------------------------
+
+def q_math_funcs(spark, sf):
+    li = ld(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.floor("l_quantity")).alias("sum_floor_qty"),
+        F.round(F.sum(F.log(F.col("l_extendedprice") + 1)), 2).alias("sum_log_price"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 2).alias("sum_absdev"),
+        F.sum(F.pmod(F.col("l_partkey"), F.lit(7))).alias("sum_pmod7"),
+    )
+
+
+SQL_MATH = """
+SELECT l_returnflag,
+       sum(floor(l_quantity))::BIGINT AS sum_floor_qty,
+       round(sum(ln(l_extendedprice + 1)), 2) AS sum_log_price,
+       round(sum(abs(l_discount - 0.05)), 2) AS sum_absdev,
+       sum(l_partkey % 7)::BIGINT AS sum_pmod7
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- C23: array / higher-order functions -------------------------------------------------
+
+def q_array_hof(spark, sf):
+    em = ld(spark, sf, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("vec_norm2"),
+        F.round(F.array_max(vec), 4).alias("vec_max"),
+    )
+
+
+SQL_ARRAY_HOF = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_reduce(list_transform(embedding, x -> x::DOUBLE), (a, x) -> a + x), 4) AS vec_sum,
+       round(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, x) -> a + x), 4) AS vec_norm2,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_max
+FROM embeddings
+"""
+
+# --- C24: JSON --------------------------------------------------------------------------
+
+def q_json_extract(spark, sf):
+    e = ld(spark, sf, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'$.k' AS INT))::BIGINT AS sum_k,
+       min(CAST(props->>'$.k' AS INT)) AS min_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+# --- C25: hash functions ------------------------------------------------------------------
+
+def q_hash_md5(spark, sf):
+    c = ld(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+SQL_HASH_MD5 = """
+SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+FROM customer
+"""
+
+
+def q_hash_xxhash64(spark, sf):
+    # DuckDB has no xxhash64 -> rows-only check (E:36-37 weaker gate)
+    c = ld(spark, sf, "customer")
+    return c.select("c_custkey", F.xxhash64("c_name").alias("name_xxh64"))
+
+
+# --- C26: scalar pandas UDF (A2 twin) ------------------------------------------------------
+
+def q_pandas_udf_canonicalize(spark, sf):
+    from ..functions.urlnorm import canonicalize_series
+
+    @F.pandas_udf("string")
+    def canon(u: pd.Series) -> pd.Series:
+        return canonicalize_series(u)
+
+    c = ld(spark, sf, "customer")
+    dirty = F.concat(
+        F.lit("HTTPS://BA.Example:443/c/"),
+        F.col("c_custkey"),
+        F.lit("/?utm_source=x&b=2&a=1#frag"),
+    )
+    return c.select("c_custkey", canon(dirty).alias("canon_url"))
+
+
+SQL_CANON = """
+SELECT c_custkey,
+       'https://ba.example/c/' || c_custkey || '/?a=1&b=2' AS canon_url
+FROM customer
+"""
+
+# --- C27: grouped-map pandas UDF (A11/A15 twin) --------------------------------------------
+
+def q_grouped_map_zscore(spark, sf):
+    e = ld(spark, sf, "events")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        std = v.std()  # ddof=1 == stddev_samp
+        z = (v - v.mean()) / std if std and std > 0 else v * float("nan")
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "event_id": pdf["event_id"], "z": z}
+        )
+
+    out = e.groupBy("event_type").applyInPandas(
+        normalize, "event_type string, event_id long, z double"
+    )
+    # round JVM-side (HALF_UP, same as DuckDB); drop NaN/null like SQL NULL
+    return out.where(F.col("z").isNotNull() & ~F.isnan("z")).withColumn(
+        "z", F.round("z", 4)
+    )
+
+
+SQL_ZSCORE = """
+SELECT event_type, event_id,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
+QUALIFY z IS NOT NULL
+"""
+
+# --- C28: grouped-agg pandas UDF (custom UDAF) ----------------------------------------------
+
+def q_grouped_agg_p95(spark, sf):
+    @F.pandas_udf("double")
+    def p95(v: pd.Series) -> float:
+        return float(np.percentile(v, 95))  # linear interp == quantile_cont
+
+    e = ld(spark, sf, "events")
+    return e.groupBy("event_type").agg(F.round(p95("value"), 4).alias("p95_value"))
+
+
+SQL_P95 = """
+SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95_value
+FROM events GROUP BY event_type
+"""
+
+# --- C29: mapInPandas -------------------------------------------------------------------------
+
+def q_map_in_pandas_tokens(spark, sf):
+    d = ld(spark, sf, "documents")
+
+    def tok(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split().str.len().astype("int64"),
+                    "n_chars_seen": pdf["text"].str.len().astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(tok, "doc_id long, n_tokens long, n_chars_seen long")
+
+
+SQL_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_seen
+FROM documents
+"""
+
+# --- crawl-operator relational twins (A6/A16/A9/A12) ----------------------------------------
+
+def q_classify_urls(spark, sf):
+    """A6 twin: the engine's JVM classifier over synthetic URLs."""
+    from ..operators.links import classify_expr
+
+    d = ld(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://ba.example"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/beer/profile/"), F.col("doc_id"), F.lit("/")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/beer/profile/"), F.col("doc_id"), F.lit("/"), F.col("doc_id") + 1, F.lit("/")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/place/list/?c_id="), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/community/members/u"), F.col("doc_id"), F.lit("."), F.col("doc_id"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/other/"), F.col("doc_id"))),
+    )
+    return (
+        ld(spark, sf, "documents")
+        .select("doc_id", url.alias("url"))
+        .withColumn("page_type", classify_expr(F.col("url")))
+    )
+
+
+SQL_CLASSIFY = """
+SELECT doc_id,
+       'https://ba.example' || CASE doc_id % 5
+         WHEN 0 THEN '/beer/profile/' || doc_id || '/'
+         WHEN 1 THEN '/beer/profile/' || doc_id || '/' || (doc_id + 1) || '/'
+         WHEN 2 THEN '/place/list/?c_id=' || doc_id
+         WHEN 3 THEN '/community/members/u' || doc_id || '.' || doc_id || '/'
+         ELSE '/other/' || doc_id END AS url,
+       CASE doc_id % 5
+         WHEN 0 THEN 'brewery' WHEN 1 THEN 'beer' WHEN 2 THEN 'place'
+         WHEN 3 THEN 'user' ELSE 'other' END AS page_type
+FROM documents
+"""
+
+
+def q_pagination_expand(spark, sf):
+    """A16 twin: sequence/explode pagination arithmetic over events."""
+    e = ld(spark, sf, "events").where(F.floor("value") > 25)
+    nr = F.floor("value").cast("int")
+    starts = F.sequence(F.lit(25), nr - 1, F.lit(25))
+    return e.select("event_id", F.explode(starts).alias("start"))
+
+
+# DuckDB can't lateral-join generate_series on a column expression, so
+# cross-join a static series and filter — value is bounded small.
+SQL_PAGINATION = """
+SELECT event_id, (25 * g)::INT AS start
+FROM events, (SELECT unnest(range(1, 100)) AS g) s
+WHERE floor(value) > 25 AND (25 * g) <= floor(value) - 1
+"""
+
+
+def q_frontier_merge(spark, sf):
+    """A9 twin: min(struct(depth, parent_ord, link_pos)) first-discovery
+    merge over synthetic multi-parent discoveries built from events."""
+    e = ld(spark, sf, "events")
+    disc = e.select(
+        (F.col("event_id") % 500).alias("url_id"),
+        (F.col("event_id") % 7).cast("int").alias("depth"),
+        (F.col("user_id")).alias("parent_ord"),
+        (F.col("event_id") % 13).cast("int").alias("link_pos"),
+    )
+    m = disc.groupBy("url_id").agg(
+        F.min(F.struct("depth", "parent_ord", "link_pos")).alias("m")
+    )
+    return m.select(
+        "url_id",
+        F.col("m.depth").alias("depth"),
+        F.col("m.parent_ord").alias("parent_ord"),
+        F.col("m.link_pos").alias("link_pos"),
+    )
+
+
+SQL_FRONTIER_MERGE = """
+SELECT url_id, depth, parent_ord, link_pos FROM (
+  SELECT event_id % 500 AS url_id,
+         (event_id % 7)::INT AS depth,
+         user_id AS parent_ord,
+         (event_id % 13)::INT AS link_pos,
+         row_number() OVER (PARTITION BY event_id % 500
+                            ORDER BY event_id % 7, user_id, event_id % 13) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_politeness_topk(spark, sf):
+    """A12 twin: per-host (event_type) quota-capped priority admission."""
+    e = ld(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"), "rn")
+    )
+
+
+SQL_POLITENESS_TOPK = """
+SELECT event_type, event_id, round(value, 4) AS value,
+       row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+FROM events QUALIFY rn <= 5
+"""
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum."""
+    e = ld(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800
+    ).cast("int")
+    sess = F.sum(F.coalesce(gap, F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = e.withColumn("session_id", sess)
+    return d.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""

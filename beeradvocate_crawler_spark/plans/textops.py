@@ -1,0 +1,592 @@
+"""Training-data pipeline operators over webtext + embeddings
+(task brief: dedup, similarity search, multimodal plumbing, text
+analysis) — every op as DataFrame/SQL-first Spark with a DuckDB oracle
+twin where SQL can express it.
+
+Cross-engine hash parity trick: DuckDB has no xxhash64, but BOTH
+engines have md5 and can cast 15 hex chars to a 60-bit bigint —
+Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT`` — so minhash, simhash and
+fingerprints are fully value-checked, not rows-only.
+
+Scale notes (100 TB):
+- shingle self-joins carry a ``source``/band key so the shuffle is
+  bounded per group, never all-pairs;
+- minhash-LSH: 16 permutations, 1-row bands -> candidate recall
+  1-(1-j)^16 (≈1 for j≥0.8) with the exact-jaccard verify making the
+  output exact regardless of LSH false positives;
+- ANN: brute-force cosine is the small-side baseline (broadcast
+  queries x corpus); the LSH-bucketed variant is the scale path and is
+  rows-only checked (recall < 1 by construction).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import ld
+
+# --- shared hash/token/shingle builders (Spark side) ---------------------------
+
+def md5h(c):
+    """60-bit bigint from md5 hex — bit-identical in DuckDB (see module doc)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+SQL_MD5H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def tokens_expr(text):
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0))
+
+
+SQL_TOKENS_EXPR = "regexp_extract_all(lower({t}), '[a-z0-9]+')"
+
+
+def shingles_expr(toks):
+    """3-gram word shingles; empty for docs with <3 tokens."""
+    body = F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+    return F.transform(
+        body,
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+
+
+# DuckDB twin: 1-based lambda index (Spark's is 0-based — offsets differ by 1)
+SQL_SHINGLES_EXPR = (
+    "list_transform({t}[1:greatest(len({t})-2, 0)],"
+    " (x, i) -> x || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)
+
+# --- exact dedup -----------------------------------------------------------------
+
+def _docs_with_copies(spark, sf):
+    """documents ∪ exact copies (doc_id+1_000_000): guarantees duplicate
+    groups exist so the dedupe op is exercised non-trivially."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+SQL_DOCS_WITH_COPIES = """
+(SELECT doc_id, text FROM documents
+ UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+"""
+
+
+def q_dedup_exact(spark, sf):
+    u = _docs_with_copies(spark, sf)
+    return (
+        u.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+FROM {SQL_DOCS_WITH_COPIES} u
+GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+# --- n-gram Jaccard near-dup (exact pairwise within source) ------------------------
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct rows."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr(tokens_expr(F.col("text"))))).alias("s"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Exact 3-gram Jaccard >= 0.5 pairs among docs of the SAME source
+    (the group key bounds the self-join shuffle)."""
+    d = ld(spark, sf, "documents").select("doc_id", "source", "text")
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(shingles_expr(tokens_expr(F.col("text"))))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select("source", F.col("doc_id").alias("d1"), "s")
+    b = sh.select("source", F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, ["source", "s"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def _sql_jaccard_pairs(docs_sql: str, threshold: float, same_source: bool) -> str:
+    toks = SQL_TOKENS_EXPR.format(t="text")
+    sh = SQL_SHINGLES_EXPR.format(t="t")
+    src_col = ", source" if same_source else ""
+    src_join = "AND a.source = b.source" if same_source else ""
+    return f"""
+WITH docs AS (SELECT * FROM {docs_sql} ),
+toks AS (SELECT doc_id{src_col}, {toks} AS t FROM docs),
+sh AS (SELECT doc_id{src_col}, unnest(list_distinct({sh})) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id {src_join}
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 4) AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= {threshold}
+"""
+
+
+SQL_NGRAM_JACCARD = _sql_jaccard_pairs("documents", 0.5, same_source=True)
+
+# --- MinHash + LSH near-dup ----------------------------------------------------------
+
+N_PERMS = 16
+NEAR_DUP_J = 0.8
+
+
+def _docs_with_near_copies(spark, sf):
+    """documents (>=12 tokens) ∪ truncated copies (last 3 tokens dropped):
+    guaranteed near-dup pairs with jaccard ≈ (S-3)/S >= 0.8."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens_expr(F.col("text"))
+    d = d.where(F.size(toks) >= 12)
+    trunc = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+    )
+    return d.unionByName(trunc)
+
+
+SQL_DOCS_WITH_NEAR_COPIES = f"""
+(WITH base AS (
+   SELECT doc_id, text, {SQL_TOKENS_EXPR.format(t='text')} AS t FROM documents)
+ SELECT doc_id, text FROM base WHERE len(t) >= 12
+ UNION ALL
+ SELECT doc_id + 1000000 AS doc_id, array_to_string(t[1:len(t)-3], ' ') AS text
+ FROM base WHERE len(t) >= 12)
+"""
+
+
+def q_minhash_lsh_dedup(spark, sf):
+    """MinHash (16 perms) -> 1-row-band LSH bucket join -> exact-Jaccard
+    verify >= 0.8.  Oracle = exact all-pairs Jaccard (the verify stage
+    makes LSH false positives invisible; recall = 1-(1-j)^16 ≈ 1)."""
+    docs = _docs_with_near_copies(spark, sf)
+    sh = _shingle_rows(docs)
+    perms = spark.range(N_PERMS).select(F.col("id").cast("int").alias("perm"))
+    mh = (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id", "perm",
+            md5h(F.concat_ws(":", F.col("perm"), F.col("s"))).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("mh"))
+    )
+    cand = (
+        mh.alias("x")
+        .join(mh.alias("y"), ["perm", "mh"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        cand.join(a, "d1").join(b, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4),
+        )
+        .where(F.col("jaccard") >= NEAR_DUP_J)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+SQL_MINHASH_LSH = _sql_jaccard_pairs(SQL_DOCS_WITH_NEAR_COPIES, NEAR_DUP_J, same_source=False)
+
+# --- SimHash fingerprint ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def q_simhash(spark, sf):
+    """32-bit SimHash over distinct tokens (md5-derived bit source —
+    value-checked against the DuckDB twin, not rows-only)."""
+    d = ld(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
+    ).withColumn("th", md5h(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash32"))
+
+
+def _sql_simhash() -> str:
+    toks = SQL_TOKENS_EXPR.format(t="text")
+    h = SQL_MD5H.format(x="tok")
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents),
+h AS (SELECT doc_id, {h} AS th FROM tok),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({terms})::BIGINT AS simhash32 FROM bits
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+# --- embedding cosine: brute-force top-k (exact) + LSH ANN (scale path) -------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_cosine_topk(spark, sf):
+    """Brute-force exact top-5 cosine neighbors for query vecs (vec_id<5):
+    broadcast queries x corpus — the pattern that scales to 100 TB
+    corpus with a small query set."""
+    em = ld(spark, sf, "embeddings").select("vec_id", "embedding")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    emn = em.withColumn("norm", norm)
+    q = emn.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    pairs = emn.where(F.col("vec_id") >= 5).crossJoin(F.broadcast(q))
+    cos = (_dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("norm"))).alias("cos")
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                          (a, x) -> a + x)) AS norm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qn FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(qv, (x, i) -> x::DOUBLE * e.embedding[i]::DOUBLE),
+                     (a, x) -> a + x) / (qn * e.norm) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id >= 5)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+FROM scored QUALIFY rnk <= 5
+"""
+
+
+def q_ann_lsh_cosine(spark, sf):
+    """Random-hyperplane LSH ANN (scale path): 12 deterministic
+    hyperplanes -> sign-bit bucket -> within-bucket brute force.
+    Approximate by construction -> rows-only check (no oracle)."""
+    import numpy as np
+
+    em = ld(spark, sf, "embeddings").select("vec_id", "embedding")
+    dim = 64
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((12, dim))
+
+    @F.pandas_udf("long")
+    def bucket_of(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())  # (n, dim) float32
+        signs = (m @ planes.T) > 0  # (n, 12)
+        return pd.Series((signs * (1 << np.arange(12))).sum(axis=1).astype("int64"))
+
+    b = em.withColumn("bucket", bucket_of("embedding"))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    bn = b.withColumn("norm", norm)
+    q = bn.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket"),
+        F.col("embedding").alias("qv"), F.col("norm").alias("qn"),
+    )
+    cands = bn.where(F.col("vec_id") >= 5).join(q, "bucket")
+    cos = (_dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("norm"))).alias("cos")
+    scored = cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup: pairs with cos >= 0.95 among corpus ∪
+    scaled copies (cosine-invariant scaling -> guaranteed dups)."""
+    em = ld(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = em.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    u = em.where(F.col("vec_id") < 50).unionByName(
+        copies.where(F.col("vec_id") < 1000050)
+    )
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    un = u.withColumn("norm", norm)
+    a = un.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))
+    b = un.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2"))
+    pairs = a.crossJoin(b).where(F.col("v1") < F.col("v2"))
+    cos = (_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))).alias("cos")
+    return (
+        pairs.select("v1", "v2", cos)
+        .where(F.col("cos") >= 0.95)
+        .select("v1", "v2", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH u AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 2.0) AS e
+  FROM embeddings WHERE vec_id < 50),
+n AS (SELECT vec_id, e, sqrt(list_reduce(list_transform(e, x -> x * x), (a, x) -> a + x)) AS nrm FROM u),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         list_reduce(list_transform(a.e, (x, i) -> x * b.e[i]), (acc, x) -> acc + x)
+           / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT v1, v2, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.95
+"""
+
+# --- text analysis: language-ID, quality score, fingerprint --------------------------------
+
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|for|with)\b",
+    "de": r"\b(der|die|und|das|ist|mit|von|zu)\b",
+    "es": r"\b(el|la|los|de|que|y|en|un)\b",
+    "fr": r"\b(le|la|les|et|des|du|est|une)\b",
+}
+
+
+def q_lang_id(spark, sf):
+    """Stopword-hit heuristic language ID (deterministic tie order
+    en > de > es > fr > und)."""
+    d = ld(spark, sf, "documents")
+    lower = F.lower(F.col("text"))
+    cnt = {
+        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0)))
+        for lang, pat in _LANG_PATTERNS.items()
+    }
+    best = (
+        F.when((cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]) & (cnt["en"] > 0), "en")
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]) & (cnt["de"] > 0), "de")
+        .when((cnt["es"] >= cnt["fr"]) & (cnt["es"] > 0), "es")
+        .when(cnt["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", "lang",
+        cnt["en"].alias("n_en"), cnt["de"].alias("n_de"),
+        cnt["es"].alias("n_es"), cnt["fr"].alias("n_fr"),
+        best.alias("pred_lang"),
+    )
+
+
+SQL_LANG_ID = rf"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["en"]}')) AS n_en,
+         len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["de"]}')) AS n_de,
+         len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["es"]}')) AS n_es,
+         len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["fr"]}')) AS n_fr
+  FROM documents)
+SELECT doc_id, lang, n_en, n_de, n_es, n_fr,
+       CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+            WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+            WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM c
+"""
+
+
+def q_quality_score(spark, sf):
+    """Heuristic quality: length saturation + type-token ratio +
+    alpha-char ratio, equally weighted."""
+    d = ld(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = F.round((len_sat + ttr + alpha_ratio) / 3.0, 4)
+    return d.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+SQL_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKENS_EXPR.format(t='text')} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS ttr,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1), 4) AS alpha_ratio,
+       round((least(len(toks) / 100.0, 1.0)
+              + len(list_distinct(toks)) / greatest(len(toks), 1)
+              + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)) / 3.0,
+             4) AS quality
+FROM t
+"""
+
+FP_MOD = 2147483647  # 2^31-1: keeps the 31*acc+x fold inside int64
+
+
+def q_doc_fingerprint(spark, sf):
+    """Polynomial rolling-hash fingerprint of the first 32 tokens."""
+    d = ld(spark, sf, "documents")
+    toks32 = F.slice(tokens_expr(F.col("text")), 1, 32)
+    hashed = F.transform(toks32, lambda x: md5h(x) % FP_MOD)
+    fp = F.aggregate(
+        hashed, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % FP_MOD
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform({SQL_TOKENS_EXPR.format(t='text')}[1:32],
+                        x -> {SQL_MD5H.format(x='x')} % {FP_MOD}) AS hs
+  FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs), (a, x) -> (a * 31 + x) % {FP_MOD}) AS fingerprint
+FROM t
+"""
+
+# --- multimodal plumbing (binary columns + stubbed decode) ----------------------------------
+
+def q_multimodal_meta(spark, sf):
+    """Binary-column pipeline: text -> utf-8 bytes (stand-in for an
+    image/audio payload) -> mapInPandas 'decode' extracting typed
+    metadata.  The actual media decode is a DETERMINISTIC STUB (no
+    image/audio libs in this environment — task brief sanctions
+    stubbing the decode); the Spark plumbing (binary column through
+    Arrow, batch shapes, schema) is real."""
+    d = ld(spark, sf, "documents").select(
+        "doc_id", "n_chars", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_stub(batches):
+        for pdf in batches:
+            blen = pdf["payload"].str.len().astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": blen,
+                    "fake_width": (blen % 640 + 16).astype("int32"),
+                    "fake_height": ((blen * 7) % 480 + 16).astype("int32"),
+                    "n_frames": (pdf["n_chars"] % 24 + 1).astype("int32"),
+                }
+            )
+
+    return d.mapInPandas(
+        decode_stub,
+        "doc_id long, byte_len long, fake_width int, fake_height int, n_frames int",
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       (octet_length(encode(text)) % 640 + 16)::INT AS fake_width,
+       ((octet_length(encode(text)) * 7) % 480 + 16)::INT AS fake_height,
+       (n_chars % 24 + 1)::INT AS n_frames
+FROM documents
+"""
+
+# --- structured streaming (S1-S5): windowed aggregation over the events stream --------------
+
+def q_stream_window_counts(spark, sf):
+    """Tumbling 6h event-time windows with a watermark, driven to
+    completion with availableNow over the static parquet (the sandbox
+    stand-in for a live stream) — returns the final batch DataFrame."""
+    import uuid
+
+    batch = ld(spark, sf, "events")
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(f"{sf}/events.parquet")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start_epoch"),
+        "event_type", "n", "sum_value",
+    )
+
+
+SQL_STREAM_WINDOW = """
+SELECT epoch(time_bucket(INTERVAL '6 hours', ts))::BIGINT AS win_start_epoch,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,100 @@
+"""Spark-engine tests: expression parity with the pure functions,
+e2e differential vs the oracle, exact resume, cuckoo on/off
+equivalence (SURVEY.md §5.3 e2e + property layers)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from beeradvocate_crawler_spark.config import CrawlConfig
+from beeradvocate_crawler_spark.fixtures import site_model as sm
+from beeradvocate_crawler_spark.fixtures.gen_site import write_pages_parquet
+from beeradvocate_crawler_spark.operators.links import classify_expr
+from beeradvocate_crawler_spark.plans import crawl as plans
+from beeradvocate_crawler_spark.testing import compare
+
+
+@pytest.fixture(scope="module")
+def site_dirs(spark, smoke_site):
+    tmp = tempfile.mkdtemp(prefix="ba_spark_test_")
+    pages_path = f"{tmp}/pages"
+    write_pages_parquet(spark, "smoke", pages_path)
+    yield tmp, pages_path
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestExpressionParity:
+    def test_xxhash64_matches_pure(self, spark, smoke_site):
+        from beeradvocate_crawler_spark.functions.xxh64 import xxh64_signed
+
+        pages, _, _ = smoke_site
+        urls = [p["url"] for p in pages[:50]]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r["url"]: r["h"] for r in df.select("url", F.xxhash64("url").alias("h")).collect()}
+        assert got == {u: xxh64_signed(u) for u in urls}
+
+    def test_classifier_matches_pure(self, spark, smoke_site):
+        from beeradvocate_crawler_spark.functions.urlnorm import classify_url
+
+        pages, _, _ = smoke_site
+        urls = [p["url"] for p in pages] + [
+            "https://ba.example/beer/profile/1/101/?start=25&view=beer",
+            "https://x.example/nothing",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r["url"]: r["t"] for r in df.select("url", classify_expr(F.col("url")).alias("t")).collect()}
+        assert got == {u: classify_url(u) for u in urls}
+
+
+class TestE2EDifferential:
+    def test_engine_matches_oracle_exactly(self, spark, smoke_site, site_dirs):
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_e2e"
+        plans.run(spark, pages_path, sm.SEED_URLS, run_dir, CrawlConfig(round_seconds=16))
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
+
+    def test_resume_equivalence(self, spark, smoke_site, site_dirs):
+        """run(N rounds) + resume == run-to-completion, bit-identical."""
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_resume"
+        cat = plans.run(
+            spark, pages_path, sm.SEED_URLS, run_dir,
+            CrawlConfig(round_seconds=16), max_rounds=4,
+        )
+        assert cat.latest().round == 4
+        plans.resume(spark, pages_path, run_dir)
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
+
+    def test_cuckoo_off_equivalence(self, spark, smoke_site, site_dirs):
+        """The cuckoo pre-filter is a pruning accelerator only — outputs
+        with it disabled are identical (SURVEY.md §7.1 exactness layering)."""
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_nocuckoo"
+        plans.run(
+            spark, pages_path, sm.SEED_URLS, run_dir,
+            CrawlConfig(round_seconds=16, use_cuckoo=False),
+        )
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
+
+    def test_two_phase_rank_equivalence(self, spark, smoke_site, site_dirs):
+        """Force the big-batch two-phase global rank path; results must
+        be identical to the single-window path (§4.2 total order)."""
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_twophase"
+        plans.run(
+            spark, pages_path, sm.SEED_URLS, run_dir,
+            CrawlConfig(round_seconds=16, big_batch_threshold=0),
+        )
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
