@@ -202,7 +202,7 @@ def q_asof_latest_event(spark, sf):
 
 
 SQL_ASOF = """
-SELECT user_id, event_id, epoch(ts)::BIGINT AS ts_epoch, round(value, 4) AS value
+SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch, round(value, 4) AS value
 FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """
@@ -410,8 +410,8 @@ def q_datetime_buckets(spark, sf):
 SQL_DATETIME = """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
        count(*) AS n,
-       epoch(min(ts))::BIGINT AS first_epoch,
-       epoch(max(ts))::BIGINT AS last_epoch
+       floor(epoch(min(ts)))::BIGINT AS first_epoch,
+       floor(epoch(max(ts)))::BIGINT AS last_epoch
 FROM events GROUP BY 1
 """
 

@@ -565,7 +565,13 @@ def q_stream_window_counts(spark, sf):
 
     batch = ld(spark, sf, "events")
     stream = (
-        spark.readStream.schema(batch.schema).parquet(f"{sf}/events.parquet")
+        # events.parquet is a single FILE; stream the parent dir with a
+        # glob filter (streaming sources require a directory path)
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        # streaming parquet may infer TIMESTAMP_NTZ; watermarks need LTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))

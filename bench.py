@@ -1,0 +1,103 @@
+"""Benchmark runner (driver contract): one JSON line with the
+north-star crawl throughput plus per-query wall times at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Headline metric = URLs scheduled+parsed per second on the synthetic
+crawl corpus (BASELINE.json metric).  The N-vs-4N scaling evidence
+(local[8] vs local[32]) is produced by scripts/bench_scaling.py into
+BENCH/BASELINE.md; this file is the single-config measurement the
+per-round driver records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def force(df) -> int:
+    """Evaluate the full plan (hash over every column defeats
+    count-only pruning); returns row count."""
+    row = df.select(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(F.struct(*df.columns))).alias("h"),
+    ).collect()[0]
+    return row["n"]
+
+
+def crawl_throughput(spark, scale: str, round_seconds: int) -> dict:
+    from beeradvocate_crawler_spark.config import CrawlConfig
+    from beeradvocate_crawler_spark.fixtures import site_model as sm
+    from beeradvocate_crawler_spark.fixtures.gen_site import write_pages_parquet
+    from beeradvocate_crawler_spark.plans import crawl as plans
+
+    tmp = tempfile.mkdtemp(prefix="ba_bench_")
+    try:
+        pages_path = f"{tmp}/pages"
+        write_pages_parquet(spark, scale, pages_path)
+        t0 = time.time()
+        cat = plans.run(
+            spark, pages_path, sm.SEED_URLS, f"{tmp}/run",
+            CrawlConfig(round_seconds=round_seconds),
+        )
+        wall = time.time() - t0
+        m = cat.latest()
+        n_urls = cat.rows("crawl_order", m)
+        return {
+            "crawl_urls": n_urls,
+            "crawl_rounds": m.round,
+            "crawl_wall_sec": round(wall, 2),
+            "urls_per_sec": round(n_urls / wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "correctness")
+    rs = int(os.environ.get("SPARK_GRAFT_BENCH_ROUND_SECONDS", "4096"))
+
+    from beeradvocate_crawler_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(master=f"local[{cpus}]")
+    crawl = crawl_throughput(spark, scale, rs)
+
+    qtimes: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line emittable
+            qtimes[name] = -1.0
+            print(f"# bench error {name}: {type(e).__name__}: {str(e)[:150]}",
+                  file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "urls_scheduled_parsed_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

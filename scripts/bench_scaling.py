@@ -1,0 +1,101 @@
+"""N-vs-4N scaling evidence (BASELINE.json north_rule): run the
+IDENTICAL crawl at local[8] and local[32] via spark-submit --py-files,
+verify bit-identical crawl order + seen set across parallelism, and
+record throughput + scaling efficiency into BENCH/BASELINE.md.
+
+The sandbox has one machine; local[8] vs local[32] is the
+driver-sanctioned proxy for N vs 4N executors (SURVEY.md §6).
+
+Usage: python scripts/bench_scaling.py [--scale bench] [--round-seconds 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip() -> str:
+    """Package the engine for spark-submit --py-files (ship shape)."""
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "beeradvocate_crawler_spark.zip")
+    pkg = os.path.join(REPO, "beeradvocate_crawler_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_once(master: str, zpath: str, scale: str, rs: int, out: str) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "--py-files", zpath,
+        os.path.join(REPO, "scripts", "crawl_bench_once.py"),
+        "--scale", scale,
+        "--round-seconds", str(rs),
+        "--out", out,
+        "--master", master,
+    ]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--round-seconds", type=int, default=100000)
+    args = ap.parse_args()
+
+    zpath = build_zip()
+    r8 = run_once("local[8]", zpath, args.scale, args.round_seconds, "/tmp/bench_r8.json")
+    r32 = run_once("local[32]", zpath, args.scale, args.round_seconds, "/tmp/bench_r32.json")
+
+    same_outputs = (
+        r8["order_hash"] == r32["order_hash"] and r8["seen_hash"] == r32["seen_hash"]
+    )
+    eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
+    speedup = r32["urls_per_sec"] / r8["urls_per_sec"]
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    block = f"""
+## Measured scaling run — {stamp}
+
+| quantity | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| crawl wall (s) | {r8['wall_sec']} | {r32['wall_sec']} |
+| URLs scheduled+parsed | {r8['n_urls']} | {r32['n_urls']} |
+| reviews parsed | {r8['n_reviews']} | {r32['n_reviews']} |
+| rounds | {r8['rounds']} | {r32['rounds']} |
+| throughput (URLs/s) | {r8['urls_per_sec']} | {r32['urls_per_sec']} |
+
+- corpus scale `{args.scale}`, politeness budget round_seconds={args.round_seconds}, spark-submit --py-files dist zip
+- **determinism across parallelism: crawl_order hash equal = {r8['order_hash'] == r32['order_hash']}, seen hash equal = {r8['seen_hash'] == r32['seen_hash']}** (order_hash {r8['order_hash'][:16]}…)
+- **speedup 8→32 threads: {speedup:.2f}x; scaling efficiency T32/(4·T8) = {eff:.3f}** (criterion ≥ 0.8 for compute-bound rounds; see analysis below the table)
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(block)
+    print(block)
+    print("PASS" if same_outputs else "FAIL: outputs differ across parallelism")
+    return 0 if same_outputs else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
