@@ -56,7 +56,11 @@ class CuckooFilter:
         u = keys.astype(np.int64).view(np.uint64)
         fp = ((u >> np.uint64(48)) & np.uint64(_FP_MASK)).astype(np.uint16)
         fp = np.where(fp == 0, np.uint16(1), fp)  # reserve 0 for empty
-        i1 = (u & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        # mix before indexing: the seen-set is PARTITIONED by
+        # pmod(url_hash, P) — raw low bits are constant within a
+        # partition and would alias to 1/P of the buckets (observed
+        # overflow at bench scale); splitmix decorrelates
+        i1 = (_mix(u) & np.uint64(self.n_buckets - 1)).astype(np.int64)
         return fp, i1
 
     def _alt_index(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:

@@ -151,6 +151,19 @@ class TestCuckoo:
         with pytest.raises(RuntimeError):
             cf.insert(np.arange(10000, dtype=np.int64))
 
+    def test_partitioned_keys_no_bucket_aliasing(self):
+        """Regression: the seen-set partitions by pmod(key, P), so keys
+        within one partition share their low bits; the bucket index
+        must not alias to 1/P of the table (caused bench-scale
+        overflow before the splitmix fix)."""
+        rng = np.random.default_rng(3)
+        keys = rng.integers(-(2**63), 2**63 - 1, 40000, dtype=np.int64)
+        for pid in range(8):
+            part = keys[(keys % 8 + 8) % 8 == pid]
+            cf = CuckooFilter.sized_for(len(part))
+            cf.insert(part)  # must not raise
+            assert cf.contains(part).all()
+
 
 class TestTextExtract:
     def test_series_equals_pure_on_fixture_pages(self, smoke_site):
