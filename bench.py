@@ -28,7 +28,8 @@ def force(df) -> int:
     count-only pruning); returns row count."""
     row = df.select(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64(F.struct(*df.columns))).alias("h"),
+        # bit_xor can't overflow under ANSI mode (sum(xxhash64) can)
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
     ).collect()[0]
     return row["n"]
 
