@@ -89,6 +89,135 @@ def generate_pages(scale: str = "smoke") -> list[dict]:
     return pages
 
 
+def page_specs(scale: str) -> list[tuple]:
+    """Tiny driver-side skeleton of the corpus: one (ord, kind, a, b, c)
+    tuple per page, in EXACTLY the enumeration order of
+    :func:`generate_pages` (so ``warc_ts = t0 + ord`` matches).  Kinds:
+    robots_main, robots_noise(k), place_dir, place(i,start),
+    brewery(i,bid), beer(bid,beer,start), user(uid), noise(j)."""
+    cfg = sm.SCALES[scale]
+    P, B, K, R = cfg["P"], cfg["B"], cfg["K"], cfg["R"]
+    specs: list[tuple] = []
+
+    def add(kind: str, a: int = 0, b: int = 0, c: int = 0) -> None:
+        specs.append((len(specs), kind, a, b, c))
+
+    add("robots_main")
+    for k in range(7):
+        add("robots_noise", k)
+    add("place_dir")
+    for i in range(P):
+        for start in range(0, B, sm.BREWERIES_PER_PLACE_PAGE):
+            add("place", i, start)
+    for i in range(P):
+        for b in range(B):
+            bid = sm.brewery_id(i, b)
+            add("brewery", i, bid)
+            for j in range(K):
+                beer = sm.beer_id(bid, j)
+                nr = sm.beer_n_ratings(beer, R)
+                add("beer", bid, beer, 0)
+                for start in range(sm.REVIEWS_PER_PAGE, nr, sm.REVIEWS_PER_PAGE):
+                    add("beer", bid, beer, start)
+    for uid in range(sm.n_users(P, B, K)):
+        add("user", uid)
+    n_noise = max(4, len(specs) // 20)
+    for j in range(n_noise):
+        add("noise", j)
+    return specs
+
+
+def render_spec(kind: str, a: int, b: int, c: int, scale: str) -> tuple:
+    """(url, html, text, lang) for one spec row — pure function of ids."""
+    cfg = sm.SCALES[scale]
+    P, B, K, R = cfg["P"], cfg["B"], cfg["K"], cfg["R"]
+    U = sm.n_users(P, B, K)
+    if kind == "robots_main":
+        body = sm.render_robots_main(P, B, K)
+        return sm.url_robots(), body, body, "en"
+    if kind == "robots_noise":
+        body = sm.render_robots_noise()
+        return sm.url_robots(sm.noise_host(a)), body, body, "en"
+    if kind == "place_dir":
+        body = sm.render_place_dir(P)
+        return sm.url_place_dir(), body, sm.html_to_text(body), "en"
+    if kind == "place":
+        body = sm.render_place(a, b, B)
+        return sm.url_place(a, b), body, sm.html_to_text(body), "en"
+    if kind == "brewery":
+        body = sm.render_brewery(a, b, K)
+        return sm.url_brewery(b), body, sm.html_to_text(body), "en"
+    if kind == "beer":
+        body = sm.render_beer_page(a, b, c, R, U)
+        url = sm.url_review_page(a, b, c) if c else sm.url_beer(a, b)
+        return url, body, sm.html_to_text(body), "en"
+    if kind == "user":
+        body = sm.render_user(a, P)
+        return sm.url_user(a), body, sm.html_to_text(body), "en"
+    body = sm.render_noise(a)
+    return (
+        f"https://{sm.noise_host(a)}/promo/{a}",
+        body,
+        sm.html_to_text(body),
+        "de" if a % 3 == 0 else "en",
+    )
+
+
+def pages_df(spark, scale: str):
+    """Distributed corpus materialization: the driver ships only the
+    (ord, kind, ids) skeleton; HTML render + text extraction run on
+    executors via mapInPandas.  Output rows are identical to
+    :func:`generate_pages` (tested) — this is the path that scales
+    (a 10^10-page corpus can't be rendered on the driver)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    specs = page_specs(scale)
+    spec_schema = T.StructType(
+        [
+            T.StructField("ord", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("a", T.IntegerType(), False),
+            T.StructField("b", T.IntegerType(), False),
+            T.StructField("c", T.IntegerType(), False),
+        ]
+    )
+    out_schema = T.StructType(
+        [T.StructField("ord", T.LongType(), False)] + pages_schema().fields
+    )
+    t0 = datetime(2024, 1, 1)
+
+    def render(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for ordv, kind, a, b, c in zip(
+                pdf["ord"], pdf["kind"], pdf["a"], pdf["b"], pdf["c"]
+            ):
+                url, html, text, lang = render_spec(kind, int(a), int(b), int(c), scale)
+                rows.append(
+                    (
+                        int(ordv),
+                        url,
+                        t0 + timedelta(seconds=int(ordv)),
+                        html.encode("utf-8"),
+                        text,
+                        lang,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["ord", "url", "warc_ts", "html", "text", "lang"]
+            )
+
+    n_slices = max(8, spark.sparkContext.defaultParallelism * 2)
+    return (
+        spark.createDataFrame(specs, schema=spec_schema)
+        .repartition(n_slices, "ord")
+        .mapInPandas(render, out_schema)
+        .drop("ord")
+    )
+
+
 def pages_schema():
     from pyspark.sql import types as T
 
@@ -108,8 +237,7 @@ def write_pages_parquet(spark, scale: str, out_dir: str, n_buckets: int = 16) ->
     ``bucket`` so fetch-joins prune scanned files to scheduled hosts)."""
     from pyspark.sql import functions as F
 
-    rows = generate_pages(scale)
-    df = spark.createDataFrame(rows, schema=pages_schema())
+    df = pages_df(spark, scale)
     (
         df.withColumn(
             "bucket",

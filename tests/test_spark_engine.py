@@ -98,3 +98,26 @@ class TestE2EDifferential:
         )
         errs = compare(spark, run_dir, ores, corpus)
         assert not errs, "\n".join(errs)
+
+
+class TestDistributedFixtureGen:
+    def test_pages_df_equals_driver_generator(self, spark, smoke_site):
+        """Distributed mapInPandas corpus render == the sequential
+        driver-side generator, byte-for-byte (url, warc_ts, html, text,
+        lang) — so bench-scale corpora are trustworthy fixtures."""
+        from beeradvocate_crawler_spark.fixtures.gen_site import (
+            generate_pages,
+            pages_df,
+        )
+
+        want = {
+            p["url"]: (p["warc_ts"], p["html"], p["text"], p["lang"])
+            for p in generate_pages("smoke")
+        }
+        got_rows = pages_df(spark, "smoke").collect()
+        got = {
+            r["url"]: (r["warc_ts"], bytes(r["html"]), r["text"], r["lang"])
+            for r in got_rows
+        }
+        assert len(got_rows) == len(want)  # no dup urls
+        assert got == want
