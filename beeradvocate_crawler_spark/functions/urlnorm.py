@@ -97,32 +97,102 @@ def path_query_of(url: str) -> str:
 # vectorized pandas path (used inside the engine's scalar pandas UDF, A2)
 # ---------------------------------------------------------------------------
 
-# Fast-path shape: already-lowercase scheme+host, no port/userinfo (the
-# host charset excludes ':' '@' and uppercase), no query, no fragment,
-# no dot-segments.  Anything else takes the exact pure-Python path.
-_SIMPLE_ABS = r"^https?://[a-z0-9.\-]+(/([^?#]*[^?#/.])?)?/?$"
+# Already-canonical shapes: lowercase scheme+host, no port/userinfo (the
+# host charset excludes ':' '@' and uppercase), no fragment, no
+# dot-segments; path present.  Query-less vs query variants.
+_CANON_NOQ = r"^https?://[a-z0-9.\-]+/([^?#]*[^?#/.])?/?$"
+_CANON_Q = r"^https?://[a-z0-9.\-]+/[^?#]*\?[^?#]+$"
+# an href that carries its own scheme (RFC 3986: base is ignored)
+_HAS_SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+# tracking params dropped by _canon_query (vectorized membership test)
+_TRACKING_IN_QS = r"(?:^|&)(?:utm_[a-z0-9_]*|fbclid|gclid|ref)="
+
+
+def _resolve_series(href: pd.Series, base: pd.Series) -> pd.Series:
+    """Vectorized RFC-3986 reference resolution for the three common
+    reference shapes (absolute, root-relative, path/query-relative).
+    Concatenating base-dir + relative path is faithful because
+    canonicalization afterwards performs remove_dot_segments — the same
+    merge-then-normalize decomposition urljoin uses.  Rows outside
+    these shapes (protocol-relative ``//h/p``, empty href) are returned
+    unchanged; callers route any non-canonical result to the exact
+    pure-Python path."""
+    is_abs = href.str.match(_HAS_SCHEME)
+    proto_rel = href.str.startswith("//")
+    root_rel = ~is_abs & ~proto_rel & href.str.startswith("/")
+    query_rel = ~is_abs & href.str.startswith("?")
+    path_rel = ~is_abs & ~root_rel & ~query_rel & ~proto_rel & (href != "")
+    # urllib quirk: urljoin collapses '//' inside PATH-RELATIVE refs
+    # (not root-relative ones); leave such rows to the exact path
+    path_rel &= ~href.str.contains("//", regex=False)
+    resolved = href.copy()
+    if root_rel.any():
+        origin = base.str.extract(r"^(https?://[^/?#]+)", expand=False)
+        resolved[root_rel] = origin[root_rel] + href[root_rel]
+    if query_rel.any() or path_rel.any():
+        base_noq = base.str.replace(r"[?#].*$", "", regex=True)
+        if query_rel.any():
+            resolved[query_rel] = base_noq[query_rel] + href[query_rel]
+        if path_rel.any():
+            base_dir = base_noq.str.replace(r"[^/]*$", "", regex=True)
+            resolved[path_rel] = base_dir[path_rel] + href[path_rel]
+    # a null base (shouldn't happen in the engine) -> NaN concat; keep
+    # such rows on the exact path rather than poisoning the masks
+    return resolved.fillna("")
+
+
+def _query_is_canonical(resolved: pd.Series) -> pd.Series:
+    """True where the query string is already in canonical form: no
+    tracking params, no empty params, params sorted.  Sortedness is
+    checked column-wise over an expanded split — vectorized string
+    compares, no per-row Python."""
+    qs = resolved.str.split("?", n=1).str[1].fillna("")
+    ok = (
+        (qs != "")
+        & ~qs.str.contains(_TRACKING_IN_QS, case=False, regex=True)
+        & ~qs.str.contains("&&", regex=False)
+        & ~qs.str.startswith("&")
+        & ~qs.str.endswith("&")
+    )
+    parts = qs.str.split("&", expand=True)
+    for i in range(parts.shape[1] - 1):
+        cur, nxt = parts[i], parts[i + 1]
+        has_next = nxt.notna()
+        ok &= ~has_next | (cur.where(has_next, "") <= nxt.where(has_next, ""))
+    return ok
 
 
 def canonicalize_series(href: pd.Series, base: pd.Series | None = None) -> pd.Series:
     """Vectorized canonicalization of a Series of hrefs.
 
-    Fast path (pandas .str ops, no Python-per-row): absolute lowercase
-    http(s) URLs with no dot-segments, default ports, userinfo, query
-    params, or fragments — the overwhelming majority of crawl-discovered
-    links.  Everything else falls back to :func:`canonicalize_url`
-    element-wise (still Arrow-batched at the Spark boundary).
-    Unit-tested for equality with the pure path in tests/test_urlnorm.py.
+    Fast path (pandas .str ops, no Python-per-row): resolve the href
+    against its base with vectorized concat (:func:`_resolve_series`),
+    then accept results already in canonical shape — lowercase http(s)
+    scheme+host, no dot-segments / default port / userinfo / fragment,
+    query absent or already sorted+tracking-free.  This covers the
+    overwhelming majority of crawl-discovered links (including the
+    relative hrefs real pages are full of).  Everything else falls back
+    to :func:`canonicalize_url` element-wise (still Arrow-batched at
+    the Spark boundary).  Unit+property-tested for equality with the
+    pure path in tests/test_functions.py.
     """
     href = href.fillna("").str.strip()
-    simple = href.str.match(_SIMPLE_ABS) & ~href.str.contains("/.", regex=False)
     out = pd.Series(pd.NA, index=href.index, dtype="object")
-    if simple.any():
-        fast = href[simple]
-        # ensure non-empty path ("https://h" -> "https://h/")
-        noslash = ~fast.str.match(r"^https?://[a-z0-9.\-]+/")
-        fast = fast.where(~noslash, fast + "/")
-        out[simple] = fast
-    slow = ~simple
+
+    resolved = _resolve_series(href, base) if base is not None else href
+    # non-http(s) schemes are None under canonicalize_url: settle now
+    non_http = href.str.match(_HAS_SCHEME) & ~href.str.match(
+        r"^https?://", case=False
+    )
+    no_dots = ~resolved.str.contains("/.", regex=False)
+    fast = no_dots & resolved.str.match(_CANON_NOQ)
+    with_q = no_dots & ~fast & resolved.str.match(_CANON_Q)
+    if with_q.any():
+        fast |= with_q & _query_is_canonical(resolved)
+    fast &= ~non_http
+    out[fast] = resolved[fast]
+
+    slow = ~fast & ~non_http
     if slow.any():
         if base is None:
             out[slow] = [canonicalize_url(h) for h in href[slow]]

@@ -93,9 +93,24 @@ def _extract_links(html: pd.Series, url: pd.Series) -> tuple[pd.Series, pd.Serie
     )
 
 
-def _reviews_json(html: pd.Series, url: pd.Series) -> pd.Series:
-    """Per-page JSON payload {"reviews": [...]} via one extractall."""
-    out = pd.Series([_dumps({"reviews": []})] * len(html), index=html.index)
+def _json_esc(s: pd.Series) -> pd.Series:
+    """Vectorized JSON string escaping (backslash, quote, control ws)."""
+    return (
+        s.str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+        .str.replace("\r", "\\r", regex=False)
+        .str.replace("\t", "\\t", regex=False)
+    )
+
+
+def _reviews_arr(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Per-page JSON array string ``[{review},...]`` via one extractall.
+    Fragments are assembled with vectorized string concat (no per-row
+    json.dumps — this is the parse hot path at 40k review pages/round);
+    float/int ``astype(str)`` uses shortest-repr, so ``from_json``
+    round-trips to identical doubles."""
+    out = pd.Series(["[]"] * len(html), index=html.index)
     if html.empty:
         return out
     rv = html.str.extractall(pf.RX_REVIEW)
@@ -105,20 +120,28 @@ def _reviews_json(html: pd.Series, url: pd.Series) -> pd.Series:
         "score", "look", "smell", "taste", "feel",
         "overall", "user", "user_id", "date", "text",
     ]
-    for c in ("score", "look", "smell", "taste", "feel", "overall"):
-        rv[c] = rv[c].astype(float)
-    rv["user_id"] = rv["user_id"].astype("int64")
-    rv["date"] = (
+    date_s = (
         pd.to_datetime(rv["date"], format=pf.RX_DATE).dt.strftime("%Y-%m-%d %H:%M:%S")
     )
     rows = rv.index.get_level_values(0)
-    rv["url"] = url.reindex(rows).values
-    rv["beer_id"] = (
-        url.reindex(rows).str.extract(pf.RX_BEER_IDS)[1].astype("int64").values
+    url_s = url.reindex(rows)
+    url_s.index = rv.index
+    beer_id_s = url_s.str.extract(pf.RX_BEER_IDS)[1]
+    frag = (
+        '{"beer_id":' + beer_id_s
+        + ',"user":"' + _json_esc(rv["user"])
+        + '","user_id":' + rv["user_id"]
+        + ',"score":' + rv["score"].astype(float).astype(str)
+        + ',"look":' + rv["look"].astype(float).astype(str)
+        + ',"smell":' + rv["smell"].astype(float).astype(str)
+        + ',"taste":' + rv["taste"].astype(float).astype(str)
+        + ',"feel":' + rv["feel"].astype(float).astype(str)
+        + ',"overall":' + rv["overall"].astype(float).astype(str)
+        + ',"date":"' + date_s
+        + '","text":"' + _json_esc(rv["text"])
+        + '","url":"' + _json_esc(url_s) + '"}'
     )
-    grouped = rv.groupby(level=0).apply(
-        lambda g: _dumps({"reviews": g.to_dict("records")})
-    )
+    grouped = "[" + frag.groupby(level=0).agg(",".join) + "]"
     out.update(grouped)
     return out
 
@@ -188,38 +211,29 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         h = html[m]
         nr = h.str.extract(pf.RX_BEER_RATINGS)[0].astype(int)
         out.loc[m, "n_ratings"] = nr
-        reviews = _reviews_json(h, url[m])
+        reviews = _reviews_arr(h, url[m])
         is_beer = pt[m] == "beer"
         if is_beer.any():
             hb = h[is_beer]
             ids = url[m][is_beer].str.extract(pf.RX_BEER_IDS)
             brew = hb.str.extract(pf.RX_BEER_BREWERY)
-            rec = pd.DataFrame(
-                {
-                    "beer_id": ids[1].astype("int64"),
-                    "brewery_id": ids[0].astype("int64"),
-                    "name": hb.str.extract(pf.RX_BEER_NAME)[0],
-                    "brewery_name": brew[1],
-                    "style": hb.str.extract(pf.RX_BEER_STYLE)[0],
-                    "abv": hb.str.extract(pf.RX_BEER_ABV)[0].astype(float),
-                    "n_ratings": nr[is_beer].astype(int),
-                    "url": url[m][is_beer],
-                }
+            merged = (
+                '{"beer_id":' + ids[1]
+                + ',"brewery_id":' + ids[0]
+                + ',"name":"' + _json_esc(hb.str.extract(pf.RX_BEER_NAME)[0])
+                + '","brewery_name":"' + _json_esc(brew[1])
+                + '","style":"' + _json_esc(hb.str.extract(pf.RX_BEER_STYLE)[0])
+                + '","abv":' + hb.str.extract(pf.RX_BEER_ABV)[0].astype(float).astype(str)
+                + ',"n_ratings":' + nr[is_beer].astype(int).astype(str)
+                + ',"url":"' + _json_esc(url[m][is_beer])
+                + '","reviews":' + reviews[is_beer] + "}"
             )
-            beer_json = pd.Series(
-                [_dumps(r) for r in rec.to_dict("records")], index=rec.index
-            )
-            # merge beer fields + reviews into one payload
-            merged = [
-                _dumps({**json.loads(b), **json.loads(rv)})
-                for b, rv in zip(beer_json, reviews[is_beer])
-            ]
-            out.loc[beer_json.index, "record_json"] = pd.Series(
-                merged, index=beer_json.index
-            )
+            out.loc[merged.index, "record_json"] = merged
         not_beer = ~is_beer
         if not_beer.any():
-            out.loc[reviews[not_beer].index, "record_json"] = reviews[not_beer]
+            out.loc[reviews[not_beer].index, "record_json"] = (
+                '{"reviews":' + reviews[not_beer] + "}"
+            )
 
     m = ok & (pt == "user")
     if m.any():

@@ -176,3 +176,75 @@ class TestTextExtract:
     def test_script_style_dropped(self):
         h = "<html><script>var x=1;</script><style>a{}</style><p>Hi  there</p></html>"
         assert html_to_text(h) == "Hi there"
+
+
+class TestCanonicalizeProperty:
+    """Vectorized fast path == pure path on adversarial href/base mixes
+    (the fast path must never disagree, only fall back)."""
+
+    HREFS = [
+        "", " ", "/", "//other.example/x", "x", "x/", "./x", "../x", "../../x",
+        "x/./y", "x/../y", "/a/b/../c/", "?a=1", "?b=2&a=1", "?a=1&b=2",
+        "?utm_source=t&a=1", "?a=1&&b=2", "?a=1&", "#frag", "/x#frag",
+        "x?view=beer&start=25", "x?start=25&view=beer",
+        "HTTP://UP.example/P", "https://h:443/x", "http://h:80/x",
+        "https://u@h/x", "mailto:a@b", "javascript:void(0)", "ftp://h/x",
+        "https://ok.example/a/b/", "https://ok.example/a b/",
+        "101/", "/beer/profile/12/", "/community/members/t_1.1/",
+        "robots.txt", "/robots.txt", "x//y", "/x//y/", "a=1&b=2",
+        "https://h/x?", "https://h/x?#", "https://h/.hidden/",
+    ]
+    BASES = [
+        "https://ba.example/place/directory/",
+        "https://ba.example/beer/profile/12/1201/",
+        "https://ba.example/beer/profile/12/1201/?start=25&view=beer",
+        "http://noise0.example/promo/3",
+        "https://h/",
+    ]
+
+    def test_cross_product_equals_pure(self):
+        hrefs, bases = [], []
+        for h in self.HREFS:
+            for b in self.BASES:
+                hrefs.append(h)
+                bases.append(b)
+        got = canonicalize_series(pd.Series(hrefs), pd.Series(bases))
+        want = [canonicalize_url(h, b) for h, b in zip(hrefs, bases)]
+        got_py = [g if pd.notna(g) else None for g in got]
+        bad = [
+            (h, b, g, w)
+            for h, b, g, w in zip(hrefs, bases, got_py, want)
+            if g != w
+        ]
+        assert not bad, bad[:10]
+
+    def test_no_base_equals_pure(self):
+        urls = self.HREFS + self.BASES
+        got = canonicalize_series(pd.Series(urls))
+        want = [canonicalize_url(u) for u in urls]
+        assert [g if pd.notna(g) else None for g in got] == want
+
+    def test_hypothesis_random_hrefs(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        seg = st.text(
+            alphabet="abcXYZ019._-/?&=#:@ %", min_size=0, max_size=12
+        )
+        pre = st.sampled_from(
+            ["", "/", "./", "../", "https://h/", "HTTPS://H/", "//h/", "?", "#"]
+        )
+        href_s = st.tuples(pre, seg).map(lambda t: t[0] + t[1])
+        base_s = st.sampled_from(self.BASES)
+
+        @given(st.lists(st.tuples(href_s, base_s), min_size=1, max_size=30))
+        @settings(max_examples=150, deadline=None)
+        def check(pairs):
+            hrefs = pd.Series([p[0] for p in pairs])
+            bases = pd.Series([p[1] for p in pairs])
+            got = canonicalize_series(hrefs, bases)
+            got_py = [g if pd.notna(g) else None for g in got]
+            want = [canonicalize_url(h, b) for h, b in pairs]
+            assert got_py == want
+
+        check()
