@@ -145,7 +145,17 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
     # 2. token-bucket admission (A11/A12)
     admitted, host_updates = admit(pending2, hs, cfg.round_seconds)
     admitted = admitted.persist()
-    n_admitted = admitted.count()
+    # host_updates' lineage re-runs the admission window unless cached;
+    # it is tiny (one row per host) and is read again at the host_state
+    # write, so persist it alongside the admitted batch
+    host_updates = host_updates.persist()
+    # one job: batch size + robots-page count (lets robots-free rounds
+    # skip the whole robots-result subplan below)
+    agg = admitted.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("page_type") == "robots").cast("int")).alias("n_rob"),
+    ).collect()[0]
+    n_admitted, n_robots = int(agg["n"]), int(agg["n_rob"] or 0)
     n_pending_after = pending2.count()
 
     if n_pending_after == 0:
@@ -155,7 +165,7 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
             cat.write_round("frontier", fr2, rnd, REPLACE, ["state"], False)
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "drained": True,
                                        "config": asdict(cfg)})
-        blocked.unpersist(); admitted.unpersist()
+        blocked.unpersist(); admitted.unpersist(); host_updates.unpersist()
         return False, next_rank
 
     if n_admitted == 0:
@@ -165,7 +175,7 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
         hs2 = _apply_host_updates(hs, host_updates, None, None)
         cat.write_round("host_state", hs2, rnd, REPLACE, skip_if_empty=False)
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "config": asdict(cfg)})
-        blocked.unpersist(); admitted.unpersist()
+        blocked.unpersist(); admitted.unpersist(); host_updates.unpersist()
         return True, next_rank
 
     # 3. deterministic global order -> ledger (A20)
@@ -174,34 +184,45 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
     ).persist()
     ledger = ranked.select("rank", F.lit(rnd).alias("round"), "url")
 
-    # 4. fetch-join (A13) + 5. one-pass vectorized parse (A15/A5)
+    # 4. fetch-join (A13) + 5. one-pass vectorized parse (A15/A5).
+    # The parsed output (fat text/link/record columns) is materialized
+    # ONCE — straight to its parquet delta, which the round must write
+    # anyway — and read back for every downstream consumer.  This is
+    # deliberately NOT .persist(): caching the wide strings costs more
+    # than the parquet write, and the parquet read gets column pruning
+    # (the link-explode below reads only the two link columns).
     fetched = fetch_join(ranked, pages, cfg.n_page_buckets)
-    parsed = parse_fetched(fetched).persist()
+    cat.write_round("parsed", parse_fetched(fetched), rnd, DELTA,
+                    n_rows=n_admitted)
+    parsed = cat.read_staged("parsed")
 
-    # robots results -> host updates effective next round
-    robots_res = (
-        ranked.filter(F.col("page_type") == "robots")
-        .select("url", "host")
-        .join(parsed.select("url", "record_json", "crawl_delay"), "url", "left")
-        .select(
-            "host",
-            F.lit(True).alias("robots_done_new"),
-            F.coalesce("crawl_delay", F.lit(1.0)).alias("crawl_delay_new"),
-            "record_json",
+    # robots results -> host updates effective next round (skipped
+    # entirely in robots-free rounds — the common case)
+    robots_res = None
+    if n_robots:
+        robots_res = (
+            ranked.filter(F.col("page_type") == "robots")
+            .select("url", "host")
+            .join(parsed.select("url", "record_json", "crawl_delay"), "url", "left")
+            .select(
+                "host",
+                F.lit(True).alias("robots_done_new"),
+                F.coalesce("crawl_delay", F.lit(1.0)).alias("crawl_delay_new"),
+                "record_json",
+            )
+            .persist()
         )
-        .persist()
-    )
-    new_rules = (
-        robots_res.filter(F.col("record_json").isNotNull())
-        .select("host", F.explode(F.from_json("record_json", RULES_JSON_SCHEMA)["rules"]).alias("r"))
-        .select("host", F.col("r.ord").alias("rule_ord"),
-                F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
-    )
-    n_new_rules = new_rules.count()
-    if n_new_rules:
-        rules2 = new_rules if rules is None else rules.unionByName(new_rules)
-        cat.write_round("robots_rules", rules2, rnd, REPLACE,
-                        skip_if_empty=False)
+        new_rules = (
+            robots_res.filter(F.col("record_json").isNotNull())
+            .select("host", F.explode(F.from_json("record_json", RULES_JSON_SCHEMA)["rules"]).alias("r"))
+            .select("host", F.col("r.ord").alias("rule_ord"),
+                    F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
+        )
+        n_new_rules = new_rules.count()
+        if n_new_rules:
+            rules2 = new_rules if rules is None else rules.unionByName(new_rules)
+            cat.write_round("robots_rules", rules2, rnd, REPLACE,
+                            skip_if_empty=False)
 
     # 6. link discovery (A5 output + A16 pagination) -> children rows
     html_links = parsed.select(
@@ -281,7 +302,6 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
                 rnd, DELTA, skip_if_empty=False,
             )
     cat.write_round("crawl_order", ledger, rnd, DELTA, n_rows=n_admitted)
-    cat.write_round("parsed", parsed, rnd, DELTA, n_rows=n_admitted)
 
     # 9. per-round metrics (A19)
     stats = (
@@ -307,8 +327,10 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
             "n_pending_before": n_pending_after,
         },
     )
-    for df in (blocked, admitted, ranked, parsed, robots_res, new_frontier):
-        df.unpersist()
+    for df in (blocked, admitted, host_updates, ranked, robots_res,
+               new_frontier):
+        if df is not None:
+            df.unpersist()
     return True, next_rank + n_admitted
 
 

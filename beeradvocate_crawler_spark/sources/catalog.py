@@ -151,6 +151,17 @@ class SnapshotCatalog:
         return m
 
     # -- reads -----------------------------------------------------------------
+    def read_staged(self, name: str) -> DataFrame | None:
+        """Read back THIS round's staged (not yet committed) write of a
+        table — the write-once/read-many pattern the round loop uses for
+        the fat ``parsed`` output (materialize straight to the delta
+        parquet, then let downstream stages re-read it with column
+        pruning instead of caching wide strings)."""
+        staged = self._staged.get(name)
+        if staged is None or staged["path"] is None:
+            return None
+        return self.spark.read.parquet(staged["path"])
+
     def read(self, name: str, manifest: Manifest | None = None) -> DataFrame | None:
         m = manifest or self.latest()
         if m is None or name not in m.tables:
