@@ -21,8 +21,9 @@ class CrawlConfig:
     cache_pages: bool = True  # sandbox scales only; a 100 TB corpus streams
     # global-rank strategy: below this batch size a single-task window
     # sorts the (politeness-bounded) batch; above it, two-phase
-    # range-partitioned ranking (operators/ordering.py)
-    big_batch_threshold: int = 1 << 20
+    # range-partitioned ranking (operators/ordering.py).  64k keeps the
+    # serial sort bounded while small rounds stay single-stage.
+    big_batch_threshold: int = 1 << 16
     # hot-host salting (A14): admitted rows of a host exceeding this
     # count get a salt column appended to the fetch/parse partition key
     hot_host_threshold: int = 4096

@@ -55,6 +55,114 @@ def mark_robots_blocked(
     return decided
 
 
+def decide_round(
+    pending: DataFrame,
+    host_state: DataFrame,
+    rules: DataFrame | None,
+    round_seconds: int,
+) -> DataFrame:
+    """A10+A11+A12 fused into ONE host-partitioned pipeline.
+
+    Returns every PENDING row with decision flags:
+      blocked   — robots-disallowed (A10; longest-prefix, tie -> Allow)
+      eligible  — competes for admission this round (not blocked; host's
+                  robots known, or the row IS the robots fetch)
+      admit     — within the host's token quota this round (A11/A12)
+      tokens_refilled / n_elig — the token-bucket state the round loop
+                  turns into host_state updates
+
+    One persisted result replaces the three separate jobs (blocked
+    count, admitted count, pending count) the loop used to run: all
+    counts come from a single aggregation over this DataFrame.  The
+    blocked decision is a hash-aggregate (max over (prefix_len, allow)
+    structs == longest-prefix-wins, tie -> Allow), not a window sort.
+    Admission ranks eligible rows first inside the host window, so
+    ``row_number() <= quota`` admits exactly the per-host top-k of the
+    eligible subset.  Semantics identical to oracle.crawl steps 1–2
+    (differentially tested)."""
+    cand = pending.join(
+        F.broadcast(
+            host_state.select("host", "tokens", "crawl_delay", "robots_done")
+        ),
+        "host",
+    )
+    if rules is None:
+        cand = cand.withColumn("blocked", F.lit(False))
+    else:
+        verdict = (
+            pending.filter(F.col("page_type") != "robots")
+            .select("url", "host", path_query_expr(F.col("url")).alias("pq"))
+            .join(F.broadcast(rules), ["host"])
+            .where(F.col("pq").startswith(F.col("prefix")))
+            .groupBy("url")
+            .agg(F.max(F.struct(F.length("prefix").alias("l"), "allow")).alias("m"))
+            .select("url", (~F.col("m.allow")).alias("_disallowed"))
+        )
+        cand = cand.join(verdict, "url", "left").withColumn(
+            "blocked",
+            F.col("robots_done")
+            & (F.col("page_type") != "robots")
+            & F.coalesce(F.col("_disallowed"), F.lit(False)),
+        ).drop("_disallowed")
+
+    eligible = (
+        ~F.col("blocked")
+        & (F.col("robots_done") | (F.col("page_type") == "robots"))
+    )
+    refill = F.lit(float(round_seconds)) / F.col("crawl_delay")
+    cand = (
+        cand.withColumn("eligible", eligible)
+        .withColumn(
+            "tokens_refilled",
+            F.least(F.lit(TOKEN_BURST_FACTOR) * refill, F.col("tokens") + refill),
+        )
+        .withColumn("quota", F.floor("tokens_refilled").cast("long"))
+        .withColumn(
+            "n_elig",
+            F.sum(F.col("eligible").cast("long")).over(Window.partitionBy("host")),
+        )
+    )
+    # Hot-host guard: the per-host top-k sort is only needed when the
+    # quota actually binds (n_elig > quota).  In the common saturated
+    # case quota covers every candidate, and ranking the single hot
+    # host's millions of rows in one window task would serialize the
+    # round — so unconstrained hosts admit all eligible rows with no
+    # sort, and the ranking window runs only over constrained hosts'
+    # rows (empty in the steady state).  Host-level branch choice can't
+    # depend on partitioning, so determinism is preserved.
+    unconstrained = cand.where(F.col("n_elig") <= F.col("quota")).withColumn(
+        "admit", F.col("eligible") & (F.col("n_elig") > 0)
+    )
+    w_rank = Window.partitionBy("host").orderBy(
+        F.col("eligible").desc(), *order_key(cand)
+    )
+    constrained = (
+        cand.where(F.col("n_elig") > F.col("quota"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "admit",
+            F.col("eligible") & (F.col("n_elig") > 0) & (F.col("rn") <= F.col("quota")),
+        )
+        .drop("rn")
+    )
+    return unconstrained.unionByName(constrained).drop("quota", "robots_done")
+
+
+def host_updates_from_decided(decided: DataFrame) -> DataFrame:
+    """(host, tokens_after) for hosts that had candidates this round —
+    hosts without candidates do not refill (oracle parity)."""
+    return (
+        decided.where(F.col("n_elig") > 0)
+        .groupBy("host")
+        .agg(
+            (
+                F.first("tokens_refilled")
+                - F.sum(F.col("admit").cast("long"))
+            ).alias("tokens_after")
+        )
+    )
+
+
 def admit(
     pending: DataFrame,
     host_state: DataFrame,

@@ -36,7 +36,7 @@ from ..operators.frontier import (
 )
 from ..operators.ordering import with_global_rank
 from ..operators.parse import parse_fetched, records_from_parsed
-from ..operators.politeness import admit, mark_robots_blocked
+from ..operators.politeness import decide_round, host_updates_from_decided
 from ..sources.catalog import DELTA, REPLACE, SnapshotCatalog
 
 RULES_JSON_SCHEMA = "rules array<struct<ord: int, allow: boolean, prefix: string>>"
@@ -135,28 +135,25 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
     blobs = cat.read("seen_filter") if cfg.use_cuckoo else None
 
     pending = fr.filter(F.col("state") == PENDING).drop("state")
-    # 1. robots marking (A10)
-    blocked = mark_robots_blocked(pending, hs, rules).persist()
-    n_blocked = blocked.count()
-    pending2 = (
-        pending.join(blocked, "url", "left_anti") if n_blocked else pending
-    )
-
-    # 2. token-bucket admission (A11/A12)
-    admitted, host_updates = admit(pending2, hs, cfg.round_seconds)
-    admitted = admitted.persist()
-    # host_updates' lineage re-runs the admission window unless cached;
-    # it is tiny (one row per host) and is read again at the host_state
-    # write, so persist it alongside the admitted batch
-    host_updates = host_updates.persist()
-    # one job: batch size + robots-page count (lets robots-free rounds
-    # skip the whole robots-result subplan below)
-    agg = admitted.agg(
-        F.count("*").alias("n"),
-        F.sum((F.col("page_type") == "robots").cast("int")).alias("n_rob"),
+    # 1.+2. robots marking + token-bucket admission fused into ONE
+    # host-partitioned pipeline (A10/A11/A12); every per-round count
+    # comes from a single aggregation over the cached decision table
+    decided = decide_round(pending, hs, rules, cfg.round_seconds).persist()
+    agg = decided.agg(
+        F.sum(F.col("blocked").cast("long")).alias("nb"),
+        F.sum((~F.col("blocked")).cast("long")).alias("np"),
+        F.sum(F.col("admit").cast("long")).alias("na"),
+        F.sum(
+            (F.col("admit") & (F.col("page_type") == "robots")).cast("long")
+        ).alias("nr"),
     ).collect()[0]
-    n_admitted, n_robots = int(agg["n"]), int(agg["n_rob"] or 0)
-    n_pending_after = pending2.count()
+    n_blocked = int(agg["nb"] or 0)
+    n_pending_after = int(agg["np"] or 0)
+    n_admitted = int(agg["na"] or 0)
+    n_robots = int(agg["nr"] or 0)
+    blocked = decided.filter(F.col("blocked")).select("url")
+    admitted = decided.filter(F.col("admit")).select(*pending.columns)
+    host_updates = host_updates_from_decided(decided)
 
     if n_pending_after == 0:
         # drained: persist any final blocked-state marks, then stop
@@ -165,7 +162,7 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
             cat.write_round("frontier", fr2, rnd, REPLACE, ["state"], False)
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "drained": True,
                                        "config": asdict(cfg)})
-        blocked.unpersist(); admitted.unpersist(); host_updates.unpersist()
+        decided.unpersist()
         return False, next_rank
 
     if n_admitted == 0:
@@ -175,7 +172,7 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
         hs2 = _apply_host_updates(hs, host_updates, None, None)
         cat.write_round("host_state", hs2, rnd, REPLACE, skip_if_empty=False)
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "config": asdict(cfg)})
-        blocked.unpersist(); admitted.unpersist(); host_updates.unpersist()
+        decided.unpersist()
         return True, next_rank
 
     # 3. deterministic global order -> ledger (A20)
@@ -327,8 +324,7 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
             "n_pending_before": n_pending_after,
         },
     )
-    for df in (blocked, admitted, host_updates, ranked, robots_res,
-               new_frontier):
+    for df in (decided, ranked, robots_res, new_frontier):
         if df is not None:
             df.unpersist()
     return True, next_rank + n_admitted
