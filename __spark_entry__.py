@@ -46,8 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang").alias("lang"),
     ).withColumn(
         "bucket", F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))), F.lit(16))
+    ).withColumn(
+        "file_in_bucket",
+        F.pmod(F.xxhash64("url"), F.lit(spark.read.parquet(pages_path)
+                                        .select(F.max("file_in_bucket")).collect()[0][0] + 1)),
     )
-    chaff.write.mode("append").partitionBy("bucket").parquet(pages_path)
+    chaff.write.mode("append").partitionBy("bucket", "file_in_bucket").parquet(pages_path)
 
     run_dir = f"{tmp}/run"
     plans.run(spark, pages_path, sm.SEED_URLS, run_dir,

@@ -18,7 +18,12 @@ class CrawlConfig:
     filter_compact_every: int = 8  # rebuild delta blobs from `seen` every k rounds
     # pages corpus bucketing (fetch-join pruning)
     n_page_buckets: int = 16
-    cache_pages: bool = True  # sandbox scales only; a 100 TB corpus streams
+    # corpus caching: OFF by default — the fetch path prunes partition
+    # directories per round, so parquet re-scans touch only the
+    # scheduled files; caching the whole corpus costs memory pressure
+    # and fixes the task count at the cached partitioning (a 100 TB
+    # corpus could never be cached anyway)
+    cache_pages: bool = False
     # global-rank strategy: below this batch size a single-task window
     # sorts the (politeness-bounded) batch; above it, two-phase
     # range-partitioned ranking (operators/ordering.py).  64k keeps the

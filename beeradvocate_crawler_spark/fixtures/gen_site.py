@@ -232,20 +232,35 @@ def pages_schema():
     )
 
 
-def write_pages_parquet(spark, scale: str, out_dir: str, n_buckets: int = 16) -> str:
+def write_pages_parquet(spark, scale: str, out_dir: str, n_buckets: int = 16,
+                        files_per_bucket: int | None = None) -> str:
     """Write the corpus bucketed by host hash (directory-partitioned on
-    ``bucket`` so fetch-joins prune scanned files to scheduled hosts)."""
+    ``bucket`` so fetch-joins prune scanned files to scheduled hosts).
+
+    Rows are additionally spread by url-hash across many FILES within
+    each bucket directory: the fetch join is a broadcast (map-side)
+    join that inherits the scan's partitioning, so per-bucket file
+    count — not bucket count — is what bounds fetch+parse parallelism
+    when one hot host owns a bucket.  (A real Common-Crawl-scale corpus
+    has thousands of files per partition for the same reason.)"""
     from pyspark.sql import functions as F
 
+    files_per_bucket = files_per_bucket or max(
+        64, spark.sparkContext.defaultParallelism * 2
+    )
     df = pages_df(spark, scale)
     (
         df.withColumn(
             "bucket",
             F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))), F.lit(n_buckets)),
         )
-        .repartition("bucket")
+        .withColumn(
+            "file_in_bucket",
+            F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)),
+        )
+        .repartition(n_buckets * files_per_bucket, "bucket", "file_in_bucket")
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", "file_in_bucket")
         .parquet(out_dir)
     )
     return out_dir

@@ -40,7 +40,11 @@ SCALES: dict[str, dict[str, int]] = {
     # P places, B breweries/place, K beers/brewery, R base reviews/beer
     "smoke": dict(P=2, B=3, K=4, R=30),          # ~160 pages  (t1 / e2e test)
     "correctness": dict(P=5, B=8, K=10, R=60),   # ~1.9k pages (t2)
-    "bench": dict(P=20, B=40, K=25, R=120),      # ~120k pages (throughput)
+    "bench": dict(P=20, B=40, K=25, R=120),      # ~110k pages (throughput)
+    # N-vs-4N scaling evidence: ~1.5M pages / ~12 GB html, B=20 keeps
+    # place pagination flat so the crawl is 2 giant rounds + short tail
+    # — parallel parse/link work dominates the per-round fixed cost
+    "scaling": dict(P=100, B=20, K=60, R=300),
 }
 
 

@@ -5,19 +5,24 @@
 ``pages`` corpus (the deterministic stand-in for HTTP over
 Common-Crawl-style tables, BASELINE.json north_star).  Scale design:
 
+- **the fat ``html`` column never crosses a shuffle.**  The scheduled
+  batch is politeness-bounded and therefore small relative to the
+  corpus, so the batch's (url, page_type) is BROADCAST and the corpus
+  side streams through a map-side hash join in place.  At 100 TB this
+  is the difference between moving gigabytes of metadata and moving
+  the corpus: a shuffled join would spill the html payload to shuffle
+  disk twice per round.  404s come from a separate slim anti-join that
+  touches only the corpus's ``url`` column (parquet column pruning —
+  the scan never materializes html for it);
 - the corpus is directory-partitioned by ``bucket =
   pmod(xxhash64(host), n_buckets)``; the scheduled batch's buckets are
   collected (bounded by n_buckets) and pushed as a partition-pruning
-  filter, so a 10^10-row corpus scan touches only the scheduled hosts'
-  files;
-- ``html`` is projected only here and parsed immediately (column
-  pruning keeps the fat binary out of every other stage);
+  filter, so the scan touches only the scheduled hosts' files;
+- batches beyond ``broadcast_threshold`` rows fall back to the
+  shuffled join (AQE picks SMJ/SHJ and handles skew);
 - hot-host skew (A14): the join key is ``url``, whose hash is uniform
-  even when ONE host owns the whole batch — so the fetch shuffle and
-  the downstream mapInPandas parse are naturally balanced; the salted
-  split is only needed for *per-host* grouped stages (admission
-  window; see operators/politeness.py), with AQE skew-join as the
-  join-side backstop.
+  even when ONE host owns the whole batch — the downstream
+  mapInPandas parse inherits the corpus's file-split parallelism.
 """
 
 from __future__ import annotations
@@ -25,24 +30,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ~10^7 urls ≈ 700 MB broadcast — beyond this, shuffle instead
+DEFAULT_BROADCAST_FETCH_THRESHOLD = 10_000_000
+
 
 def fetch_join(
     admitted: DataFrame,
     pages: DataFrame,
     n_buckets: int,
     prune_buckets: bool = True,
+    batch_rows: int | None = None,
+    broadcast_threshold: int = DEFAULT_BROADCAST_FETCH_THRESHOLD,
+    files_per_bucket: int | None = None,
 ) -> DataFrame:
-    """admitted (url, ...) x pages (url, html, bucket) -> left join.
-    Missing page => html null => fetch_status 404 downstream."""
+    """admitted (url, page_type, ...) x pages (url, html, bucket) ->
+    (url, page_type, html); missing page => html null => fetch_status
+    404 downstream."""
     corpus = pages
     if prune_buckets and "bucket" in pages.columns:
-        buckets = [
-            r["b"]
-            for r in admitted.select(
-                F.pmod(F.xxhash64("host"), F.lit(n_buckets)).alias("b")
+        if files_per_bucket and "file_in_bucket" in pages.columns:
+            # two-level partition pruning (host bucket x url-hash file):
+            # a k-URL round touches at most k partition directories, so
+            # tiny rounds scan tiny corpora
+            fpb = files_per_bucket
+            keys = [
+                f"{r['b']}/{r['f']}"
+                for r in admitted.select(
+                    F.pmod(F.xxhash64("host"), F.lit(n_buckets)).alias("b"),
+                    F.pmod(F.xxhash64("url"), F.lit(fpb)).alias("f"),
+                )
+                .distinct()
+                .collect()
+            ]
+            corpus = pages.where(
+                F.concat_ws("/", "bucket", "file_in_bucket").isin(keys)
             )
-            .distinct()
-            .collect()
-        ]
-        corpus = pages.where(F.col("bucket").isin(buckets))
-    return admitted.join(corpus.select("url", "html"), "url", "left")
+        else:
+            buckets = [
+                r["b"]
+                for r in admitted.select(
+                    F.pmod(F.xxhash64("host"), F.lit(n_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            corpus = pages.where(F.col("bucket").isin(buckets))
+
+    sched = admitted.select("url", "page_type")
+    if batch_rows is not None and batch_rows > broadcast_threshold:
+        return sched.join(corpus.select("url", "html"), "url", "left")
+
+    hits = corpus.select("url", "html").join(F.broadcast(sched), "url", "inner")
+    misses = (
+        sched.join(corpus.select("url"), "url", "left_anti")
+        .withColumn("html", F.lit(None).cast("binary"))
+        .select("url", "html", "page_type")
+    )
+    return hits.unionByName(misses)

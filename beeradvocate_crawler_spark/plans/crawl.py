@@ -111,6 +111,14 @@ def resume(
 
 def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     pages = _read_pages(spark, pages_path, cfg.cache_pages)
+    # two-level partition layout? derive files-per-bucket ONCE (metadata
+    # of the partition column) so every round's fetch prunes directories
+    fpb = None
+    if "file_in_bucket" in pages.columns:
+        fpb = int(
+            pages.select(F.max("file_in_bucket").alias("m")).collect()[0]["m"]
+        ) + 1
+    cfg._files_per_bucket = fpb
     m = cat.latest()
     next_rank = int(m.lineage.get("next_rank", 0))
     rnd = m.round
@@ -188,7 +196,9 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
     # deliberately NOT .persist(): caching the wide strings costs more
     # than the parquet write, and the parquet read gets column pruning
     # (the link-explode below reads only the two link columns).
-    fetched = fetch_join(ranked, pages, cfg.n_page_buckets)
+    fetched = fetch_join(ranked, pages, cfg.n_page_buckets,
+                         batch_rows=n_admitted,
+                         files_per_bucket=getattr(cfg, "_files_per_bucket", None))
     cat.write_round("parsed", parse_fetched(fetched), rnd, DELTA,
                     n_rows=n_admitted)
     parsed = cat.read_staged("parsed")

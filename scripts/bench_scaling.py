@@ -39,7 +39,8 @@ def build_zip() -> str:
     return zpath
 
 
-def run_once(master: str, zpath: str, scale: str, rs: int, out: str) -> dict:
+def run_once(master: str, zpath: str, scale: str, rs: int, out: str,
+             pages_dir: str | None = None) -> dict:
     cmd = [
         "spark-submit",
         "--master", master,
@@ -51,6 +52,8 @@ def run_once(master: str, zpath: str, scale: str, rs: int, out: str) -> dict:
         "--out", out,
         "--master", master,
     ]
+    if pages_dir:
+        cmd += ["--pages-dir", pages_dir]
     print("+", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True, cwd=REPO,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
@@ -58,15 +61,35 @@ def run_once(master: str, zpath: str, scale: str, rs: int, out: str) -> dict:
         return json.load(f)
 
 
+def gen_corpus(scale: str, out_dir: str) -> None:
+    """Materialize the corpus ONCE (at full parallelism) so both
+    measured runs read the IDENTICAL input."""
+    import sys as _sys
+    _sys.path.insert(0, REPO)
+    from beeradvocate_crawler_spark.fixtures.gen_site import write_pages_parquet
+    from beeradvocate_crawler_spark.session import get_spark
+
+    spark = get_spark(app="gen_scaling_corpus", master="local[32]")
+    write_pages_parquet(spark, scale, out_dir)
+    spark.stop()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="bench")
-    ap.add_argument("--round-seconds", type=int, default=100000)
+    ap.add_argument("--scale", default="scaling")
+    ap.add_argument("--round-seconds", type=int, default=100_000_000)
+    ap.add_argument("--pages-dir", default="/tmp/ba_scaling_pages")
     args = ap.parse_args()
 
     zpath = build_zip()
-    r8 = run_once("local[8]", zpath, args.scale, args.round_seconds, "/tmp/bench_r8.json")
-    r32 = run_once("local[32]", zpath, args.scale, args.round_seconds, "/tmp/bench_r32.json")
+    if not os.path.exists(os.path.join(args.pages_dir, "_SUCCESS")):
+        print(f"+ generating corpus scale={args.scale} -> {args.pages_dir}",
+              flush=True)
+        gen_corpus(args.scale, args.pages_dir)
+    r8 = run_once("local[8]", zpath, args.scale, args.round_seconds,
+                  "/tmp/bench_r8.json", args.pages_dir)
+    r32 = run_once("local[32]", zpath, args.scale, args.round_seconds,
+                   "/tmp/bench_r32.json", args.pages_dir)
 
     same_outputs = (
         r8["order_hash"] == r32["order_hash"] and r8["seen_hash"] == r32["seen_hash"]

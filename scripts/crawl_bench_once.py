@@ -11,7 +11,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import shutil
@@ -29,6 +28,12 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)  # spark-submit usually sets it
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--pages-dir", default=None,
+        help="pre-generated corpus dir shared across parallelism levels "
+             "(skips generation; the IDENTICAL-input requirement of the "
+             "N-vs-4N criterion)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -45,10 +50,14 @@ def main() -> int:
     n_threads = spark.sparkContext.defaultParallelism
     tmp = tempfile.mkdtemp(prefix="ba_bench1_")
     try:
-        pages_path = f"{tmp}/pages"
-        t_gen = time.time()
-        write_pages_parquet(spark, args.scale, pages_path)
-        gen_sec = time.time() - t_gen
+        if args.pages_dir:
+            pages_path = args.pages_dir
+            gen_sec = 0.0
+        else:
+            pages_path = f"{tmp}/pages"
+            t_gen = time.time()
+            write_pages_parquet(spark, args.scale, pages_path)
+            gen_sec = time.time() - t_gen
 
         t0 = time.time()
         cat = plans.run(
@@ -60,22 +69,25 @@ def main() -> int:
         n_urls = cat.rows("crawl_order", m)
 
         # output-equality evidence: hashes over the TOTAL ordered ledger
-        # and the seen set — must be identical across parallelism levels
-        order_rows = (
+        # and the seen set — must be identical across parallelism levels.
+        # Distributed: each ledger row's hash INCLUDES its rank, so the
+        # commutative bit_xor combine is still sequence-faithful (any
+        # reordering changes some (rank,url) pair), and nothing large is
+        # collected to the driver.
+        order_hash = hex(
             cat.read("crawl_order", m)
-            .orderBy("rank")
-            .select(F.concat_ws("\x01", "rank", "round", "url").alias("s"))
-            .collect()
+            .select(
+                F.bit_xor(
+                    F.xxhash64(F.concat_ws("\x01", "rank", "round", "url"))
+                ).alias("h")
+            )
+            .collect()[0]["h"] or 0
         )
-        h = hashlib.sha256()
-        for r in order_rows:
-            h.update(r["s"].encode())
-        order_hash = h.hexdigest()
-        seen_hash = hashlib.sha256(
-            "\n".join(
-                sorted(r["url"] for r in cat.read("seen", m).collect())
-            ).encode()
-        ).hexdigest()
+        seen_hash = hex(
+            cat.read("seen", m)
+            .select(F.bit_xor(F.xxhash64("url")).alias("h"))
+            .collect()[0]["h"] or 0
+        )
         n_reviews = plans.result_tables(spark, f"{tmp}/run")["reviews"].count()
 
         result = {
