@@ -13,7 +13,7 @@ bench:
 	python bench.py
 
 bench-scaling:
-	python scripts/bench_scaling.py --scale bench --round-seconds 100000
+	python scripts/bench_scaling.py --scale scaling
 
 diff:
 	python scripts/diff_vs_oracle.py smoke 16

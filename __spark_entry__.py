@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": R.q_distinct_counts,
         "approx_distinct": R.q_approx_distinct,
         "rollup_events": R.q_rollup_events,
+        "cube_events": R.q_cube_events,
+        "grouping_sets_orders": R.q_grouping_sets_orders,
+        "full_outer_join": R.q_full_outer_join,
         "collect_sorted": R.q_collect_sorted,
         "window_rank_orders": R.q_window_rank_orders,
         "window_lag": R.q_window_lag,
@@ -96,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_map_zscore": R.q_grouped_map_zscore,
         "grouped_agg_p95": R.q_grouped_agg_p95,
         "map_in_pandas_tokens": R.q_map_in_pandas_tokens,
+        "udtf_bigrams": R.q_udtf_bigrams,
         # crawl-operator relational twins (A6/A16/A9/A12, sessionization)
         "classify_urls": R.q_classify_urls,
         "pagination_expand": R.q_pagination_expand,
@@ -137,6 +141,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": R.SQL_DISTINCT,
         # approx_distinct: sketch values are engine-specific -> rows-only
         "rollup_events": R.SQL_ROLLUP,
+        "cube_events": R.SQL_CUBE,
+        "grouping_sets_orders": R.SQL_GROUPING_SETS,
+        "full_outer_join": R.SQL_FULL_OUTER,
         "collect_sorted": R.SQL_COLLECT,
         "window_rank_orders": R.SQL_WINDOW_RANK,
         "window_lag": R.SQL_WINDOW_LAG,
@@ -154,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_map_zscore": R.SQL_ZSCORE,
         "grouped_agg_p95": R.SQL_P95,
         "map_in_pandas_tokens": R.SQL_TOKENS,
+        "udtf_bigrams": R.SQL_UDTF_BIGRAMS,
         "classify_urls": R.SQL_CLASSIFY,
         "pagination_expand": R.SQL_PAGINATION,
         "frontier_merge": R.SQL_FRONTIER_MERGE,

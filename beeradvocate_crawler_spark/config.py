@@ -15,6 +15,13 @@ class CrawlConfig:
     # cuckoo-filter seen pre-filter (A8); exact anti-join stays authoritative
     use_cuckoo: bool = True
     n_filter_partitions: int = 8
+    # probe the filter only once `seen` exceeds this many rows: the
+    # filter exists to avoid shuffling a HUGE seen table — while seen
+    # is small the exact anti-join is cheaper than the cogroup's
+    # Python stage.  Blobs are still built/compacted every round so
+    # resume and the big-seen path stay exercised.  (Results are
+    # identical either way — cuckoo on/off equivalence is a test.)
+    cuckoo_min_seen_rows: int = 100_000
     filter_compact_every: int = 8  # rebuild delta blobs from `seen` every k rounds
     # pages corpus bucketing (fetch-join pruning)
     n_page_buckets: int = 16

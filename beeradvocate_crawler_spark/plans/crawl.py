@@ -263,8 +263,10 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
     )
     merged = merge_discoveries(children, rnd)
 
-    # 7. seen-set dedupe: cuckoo pre-filter (A8) then exact anti-join (A7)
-    if cfg.use_cuckoo:
+    # 7. seen-set dedupe: cuckoo pre-filter (A8) then exact anti-join (A7);
+    # the probe engages once seen is big enough to be worth pre-pruning
+    # (row count is free from the manifest)
+    if cfg.use_cuckoo and cat.rows("seen") >= cfg.cuckoo_min_seen_rows:
         pre = S.cuckoo_prefilter(merged, blobs, cfg.n_filter_partitions)
         definite_new = pre.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = pre.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -741,3 +741,115 @@ s AS (
 SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """
+
+
+# --- C13b: cube / grouping sets (rollup's siblings) ----------------------------
+
+def q_cube_events(spark, sf):
+    """CUBE over (event_type, weekday) with grouping_id so the oracle
+    can distinguish the aggregation levels."""
+    e = ld(spark, sf, "events").withColumn(
+        "weekday", F.dayofweek("ts").cast("int")
+    )
+    return (
+        e.cube("event_type", "weekday")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_CUBE = """
+WITH e AS (
+  SELECT event_type, (dayofweek(ts) + 1)::INT AS weekday, value FROM events)
+SELECT event_type, weekday, count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       GROUPING(event_type, weekday) AS gid
+FROM e GROUP BY CUBE (event_type, weekday)
+"""
+
+
+def q_grouping_sets_orders(spark, sf):
+    """Explicit GROUPING SETS: totals by status, by priority, overall."""
+    o = ld(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        o=o,
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+# --- C4b: full outer join + null-safe equality ---------------------------------
+
+def q_full_outer_join(spark, sf):
+    """Customers FULL OUTER their orders-per-customer rollup, plus a
+    null-safe (<=>) flag — exercises the join sides Catalyst can't
+    convert to inner."""
+    c = ld(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        ld(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        "c_custkey",
+        "o_custkey",
+        "n_orders",
+        F.col("c_custkey").eqNullSafe(F.col("o_custkey")).alias("keys_match"),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT c_custkey, o_custkey, n_orders,
+       (c_custkey IS NOT DISTINCT FROM o_custkey) AS keys_match
+FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+"""
+
+# --- C29b: Python UDTF (Spark 4) — one row in, N typed rows out ----------------
+
+def q_udtf_bigrams(spark, sf):
+    """Arrow-optimized Python UDTF emitting (doc_id, pos, bigram) rows
+    from each document — the table-function shape of link extraction.
+    Oracle twin: DuckDB unnest-with-ordinality over the same tokens."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, bigram: string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = [t for t in __import__("re").findall(r"[a-z0-9]+", text.lower())]
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("ba_bigrams", Bigrams)
+    d = ld(spark, sf, "documents").where(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM udtf_docs_in d, LATERAL ba_bigrams(d.doc_id, d.text) b
+        """
+    )
+
+
+SQL_UDTF_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id, (i - 1)::INT AS pos, t[i] || ' ' || t[i + 1] AS bigram
+FROM toks, unnest(range(1, len(t))) AS u(i)
+"""

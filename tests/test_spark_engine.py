@@ -55,7 +55,10 @@ class TestE2EDifferential:
         _, corpus, ores = smoke_site
         tmp, pages_path = site_dirs
         run_dir = f"{tmp}/run_e2e"
-        plans.run(spark, pages_path, sm.SEED_URLS, run_dir, CrawlConfig(round_seconds=16))
+        # cuckoo_min_seen_rows=0 forces the probe path even at smoke
+        # scale, so the differential covers the full cuckoo pipeline
+        plans.run(spark, pages_path, sm.SEED_URLS, run_dir,
+                  CrawlConfig(round_seconds=16, cuckoo_min_seen_rows=0))
         errs = compare(spark, run_dir, ores, corpus)
         assert not errs, "\n".join(errs)
 
