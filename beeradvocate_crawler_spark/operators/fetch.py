@@ -80,7 +80,16 @@ def fetch_join(
     if batch_rows is not None and batch_rows > broadcast_threshold:
         return sched.join(corpus.select("url", "html"), "url", "left")
 
-    hits = corpus.select("url", "html").join(F.broadcast(sched), "url", "inner")
+    # broadcast the single url column (semi join) — half the serial
+    # hash-relation build of a two-column broadcast; page_type is a
+    # pure function of the url, recomputed JVM-side on the hits
+    from .links import classify_expr
+
+    hits = (
+        corpus.select("url", "html")
+        .join(F.broadcast(sched.select("url")), "url", "left_semi")
+        .withColumn("page_type", classify_expr(F.col("url")))
+    )
     misses = (
         sched.join(corpus.select("url"), "url", "left_anti")
         .withColumn("html", F.lit(None).cast("binary"))

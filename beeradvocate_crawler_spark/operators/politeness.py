@@ -110,17 +110,20 @@ def decide_round(
         & (F.col("robots_done") | (F.col("page_type") == "robots"))
     )
     refill = F.lit(float(round_seconds)) / F.col("crawl_delay")
-    cand = (
-        cand.withColumn("eligible", eligible)
-        .withColumn(
-            "tokens_refilled",
-            F.least(F.lit(TOKEN_BURST_FACTOR) * refill, F.col("tokens") + refill),
-        )
-        .withColumn("quota", F.floor("tokens_refilled").cast("long"))
-        .withColumn(
-            "n_elig",
-            F.sum(F.col("eligible").cast("long")).over(Window.partitionBy("host")),
-        )
+    cand = cand.withColumn("eligible", eligible).withColumn(
+        "tokens_refilled",
+        F.least(F.lit(TOKEN_BURST_FACTOR) * refill, F.col("tokens") + refill),
+    ).withColumn("quota", F.floor("tokens_refilled").cast("long"))
+    # per-host eligible count via partial-aggregated groupBy + broadcast
+    # join back — NOT a host window, which would drag every row of the
+    # hot host into one task (the single-host skew is by construction)
+    elig_counts = (
+        cand.where(F.col("eligible"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_elig"))
+    )
+    cand = cand.join(F.broadcast(elig_counts), "host", "left").withColumn(
+        "n_elig", F.coalesce(F.col("n_elig"), F.lit(0))
     )
     # Hot-host guard: the per-host top-k sort is only needed when the
     # quota actually binds (n_elig > quota).  In the common saturated

@@ -247,8 +247,13 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
         F.col("rank").alias("parent_ord"),
         F.col("depth").alias("parent_depth"),
     )
+    # a big batch's parents table isn't broadcast-small: its serial
+    # driver-side hash-relation build costs ~10 s at 10^6 rows and
+    # doesn't shrink with cluster size — shuffle-join instead there
+    if n_admitted <= 100_000:
+        parents = F.broadcast(parents)
     children = (
-        all_links.join(F.broadcast(parents), "parent_url")
+        all_links.join(parents, "parent_url")
         .select(
             F.col("link_url").alias("url"),
             (F.col("parent_depth") + 1).alias("depth"),

@@ -124,3 +124,56 @@ class TestDistributedFixtureGen:
         }
         assert len(got_rows) == len(want)  # no dup urls
         assert got == want
+
+
+class TestMissingPages404:
+    def test_engine_matches_oracle_with_404s(self, spark, smoke_site):
+        """Corpus with holes: a beer page, a user page, and one noise
+        host's robots.txt are absent -> fetches 404, robots falls back
+        to ALLOW_ALL, pagination of the missing beer never expands —
+        the engine must match the oracle on the degraded corpus too."""
+        import tempfile
+
+        from beeradvocate_crawler_spark import oracle
+        from beeradvocate_crawler_spark.fixtures.gen_site import (
+            generate_pages,
+            pages_schema,
+        )
+        from beeradvocate_crawler_spark.testing import compare
+
+        from beeradvocate_crawler_spark.functions.urlnorm import classify_url
+
+        pages = generate_pages("smoke")
+        by_type: dict[str, list[str]] = {}
+        for p in pages:
+            by_type.setdefault(classify_url(p["url"]), []).append(p["url"])
+        # one beer page, one user page, one robots (deterministic picks)
+        drop = {
+            sorted(by_type["beer"])[0],
+            sorted(by_type["user"])[0],
+            "https://noise0.example/robots.txt",
+        }
+        kept = [p for p in pages if p["url"] not in drop]
+        corpus = {p["url"]: p for p in kept}
+        ores = oracle.crawl(corpus, sm.SEED_URLS, round_seconds=16)
+
+        tmp = tempfile.mkdtemp(prefix="ba_404_")
+        pages_path = f"{tmp}/pages"
+        from pyspark.sql import functions as SF
+
+        df = spark.createDataFrame(kept, schema=pages_schema())
+        (
+            df.withColumn(
+                "bucket",
+                SF.pmod(SF.xxhash64(SF.parse_url("url", SF.lit("HOST"))), SF.lit(16)),
+            )
+            .withColumn("file_in_bucket", SF.pmod(SF.xxhash64("url"), SF.lit(4)))
+            .repartition(8)
+            .write.mode("overwrite")
+            .partitionBy("bucket", "file_in_bucket")
+            .parquet(pages_path)
+        )
+        plans.run(spark, pages_path, sm.SEED_URLS, f"{tmp}/run",
+                  CrawlConfig(round_seconds=16))
+        errs = compare(spark, f"{tmp}/run", ores, corpus)
+        assert not errs, "\n".join(errs)
