@@ -118,7 +118,7 @@ def main() -> int:
 
 - corpus scale `{args.scale}`, politeness budget round_seconds={args.round_seconds}, spark-submit --py-files dist zip
 - **determinism across parallelism: crawl_order hash equal = {r8['order_hash'] == r32['order_hash']}, seen hash equal = {r8['seen_hash'] == r32['seen_hash']}** (order_hash {r8['order_hash'][:16]}…)
-- **speedup 8→32 threads: {speedup:.2f}x; scaling efficiency T32/(4·T8) = {eff:.3f}** (criterion ≥ 0.8 for compute-bound rounds; see analysis below the table)
+- **speedup {n}→{n4} threads: {speedup:.2f}x; scaling efficiency T_4N/(4·T_N) = {eff:.3f}** (criterion ≥ 0.8)
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
