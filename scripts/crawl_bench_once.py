@@ -59,6 +59,17 @@ def main() -> int:
             write_pages_parquet(spark, args.scale, pages_path)
             gen_sec = time.time() - t_gen
 
+        # untimed corpus pre-touch: both parallelism levels start with
+        # the same (warm) page-cache state — otherwise whichever leg
+        # runs second inherits the first leg's eviction pattern and the
+        # efficiency ratio measures the OS cache, not the engine
+        spark.read.parquet(pages_path).select(
+            F.count("*"),
+            F.sum(
+                F.octet_length("html") + F.length("text") + F.length("url")
+            ),
+        ).collect()
+
         t0 = time.time()
         cat = plans.run(
             spark, pages_path, sm.SEED_URLS, f"{tmp}/run",
