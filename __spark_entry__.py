@@ -30,13 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
     from beeradvocate_crawler_spark.fixtures import site_model as sm
     from beeradvocate_crawler_spark.fixtures.gen_site import write_pages_parquet
     from beeradvocate_crawler_spark.plans import crawl as plans
+    from beeradvocate_crawler_spark.sources.corpus import read_corpus_meta
 
     tmp = tempfile.mkdtemp(prefix="ba_entry_")
     pages_path = f"{tmp}/pages"
     write_pages_parquet(spark, "smoke", pages_path)
+    meta = read_corpus_meta(pages_path)
 
     # mix the driver's sf0.001 documents in as off-site corpus chaff
-    # (never crawled -> exercises fetch-join bucket pruning)
+    # (never crawled -> exercises fetch-join bucket pruning); partition
+    # moduli come from the corpus sidecar, NOT from scanning the corpus
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     chaff = docs.select(
         F.concat(F.lit("https://docs.example/d/"), F.col("doc_id")).alias("url"),
@@ -45,11 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
     ).withColumn(
-        "bucket", F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))), F.lit(16))
+        "bucket",
+        F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))),
+               F.lit(meta["n_buckets"])),
     ).withColumn(
         "file_in_bucket",
-        F.pmod(F.xxhash64("url"), F.lit(spark.read.parquet(pages_path)
-                                        .select(F.max("file_in_bucket")).collect()[0][0] + 1)),
+        F.pmod(F.xxhash64("url"), F.lit(meta["files_per_bucket"])),
     )
     chaff.write.mode("append").partitionBy("bucket", "file_in_bucket").parquet(pages_path)
 

@@ -23,8 +23,11 @@ class CrawlConfig:
     # identical either way — cuckoo on/off equivalence is a test.)
     cuckoo_min_seen_rows: int = 100_000
     filter_compact_every: int = 8  # rebuild delta blobs from `seen` every k rounds
-    # pages corpus bucketing (fetch-join pruning)
+    # pages corpus bucketing (fetch-join pruning); files_per_bucket is
+    # normally read from the corpus writer's sidecar metadata
+    # (sources/corpus.py) — set explicitly only to override it
     n_page_buckets: int = 16
+    files_per_bucket: int | None = None
     # corpus caching: OFF by default — the fetch path prunes partition
     # directories per round, so parquet re-scans touch only the
     # scheduled files; caching the whole corpus costs memory pressure

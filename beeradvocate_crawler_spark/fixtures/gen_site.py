@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+from ..sources.corpus import write_corpus_meta
 from . import site_model as sm
 
 
@@ -263,4 +264,5 @@ def write_pages_parquet(spark, scale: str, out_dir: str, n_buckets: int = 16,
         .partitionBy("bucket", "file_in_bucket")
         .parquet(out_dir)
     )
+    write_corpus_meta(out_dir, n_buckets, files_per_bucket)
     return out_dir

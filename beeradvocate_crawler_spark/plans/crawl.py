@@ -38,6 +38,7 @@ from ..operators.ordering import with_global_rank
 from ..operators.parse import parse_fetched, records_from_parsed
 from ..operators.politeness import decide_round, host_updates_from_decided
 from ..sources.catalog import DELTA, REPLACE, SnapshotCatalog
+from ..sources.corpus import read_corpus_meta
 
 RULES_JSON_SCHEMA = "rules array<struct<ord: int, allow: boolean, prefix: string>>"
 
@@ -111,13 +112,23 @@ def resume(
 
 def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     pages = _read_pages(spark, pages_path, cfg.cache_pages)
-    # two-level partition layout? derive files-per-bucket ONCE (metadata
-    # of the partition column) so every round's fetch prunes directories
-    fpb = None
-    if "file_in_bucket" in pages.columns:
-        fpb = int(
-            pages.select(F.max("file_in_bucket").alias("m")).collect()[0]["m"]
-        ) + 1
+    # two-level partition layout? the pruning moduli MUST come from the
+    # corpus writer's sidecar metadata (sources/corpus.py) — inferring
+    # files_per_bucket from max(file_in_bucket)+1 is wrong whenever the
+    # top residue is unoccupied, and the resulting mis-pruning reports
+    # silent false 404s.  No sidecar + no explicit cfg value means the
+    # file-level prune is disabled (bucket-level pruning still applies).
+    fpb = cfg.files_per_bucket
+    if fpb is None and "file_in_bucket" in pages.columns:
+        meta = read_corpus_meta(pages_path)
+        if meta is not None:
+            fpb = int(meta["files_per_bucket"])
+            if int(meta["n_buckets"]) != cfg.n_page_buckets:
+                raise ValueError(
+                    f"corpus written with n_buckets={meta['n_buckets']} but "
+                    f"cfg.n_page_buckets={cfg.n_page_buckets}; bucket pruning "
+                    "would scan the wrong directories"
+                )
     cfg._files_per_bucket = fpb
     m = cat.latest()
     next_rank = int(m.lineage.get("next_rank", 0))

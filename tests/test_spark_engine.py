@@ -50,6 +50,75 @@ class TestExpressionParity:
         assert got == {u: classify_url(u) for u in urls}
 
 
+class TestCorpusMeta:
+    def test_sparse_residues_no_false_404(self, spark):
+        """files_per_bucket larger than the page count leaves most
+        residues unoccupied; pruning keyed off the sidecar moduli must
+        still find every page (the max(file_in_bucket)+1 inference this
+        replaces would prune the wrong files here)."""
+        from datetime import datetime
+
+        from beeradvocate_crawler_spark.fixtures.gen_site import pages_schema
+        from beeradvocate_crawler_spark.operators.fetch import fetch_join
+        from beeradvocate_crawler_spark.operators.links import (
+            classify_expr as ce,
+            host_expr,
+        )
+        from beeradvocate_crawler_spark.sources.corpus import (
+            read_corpus_meta,
+            write_corpus_meta,
+        )
+
+        rows = [
+            {
+                "url": f"https://ba.example/beer/profile/{i}/",
+                "warc_ts": datetime(2024, 1, 1),
+                "html": b"<html>x</html>",
+                "text": "x",
+                "lang": "en",
+            }
+            for i in range(10)
+        ]
+        tmp = tempfile.mkdtemp(prefix="ba_sparse_")
+        pages_path = f"{tmp}/pages"
+        fpb = 97  # >> 10 pages: top residue certainly unoccupied
+        df = spark.createDataFrame(rows, schema=pages_schema())
+        (
+            df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))), F.lit(16)),
+            )
+            .withColumn("file_in_bucket", F.pmod(F.xxhash64("url"), F.lit(fpb)))
+            .write.mode("overwrite")
+            .partitionBy("bucket", "file_in_bucket")
+            .parquet(pages_path)
+        )
+        write_corpus_meta(pages_path, 16, fpb)
+        assert read_corpus_meta(pages_path) == {
+            "n_buckets": 16,
+            "files_per_bucket": fpb,
+        }
+        pages = spark.read.parquet(pages_path)
+        sched = spark.createDataFrame(
+            [(r["url"],) for r in rows], "url string"
+        ).select(
+            "url", ce(F.col("url")).alias("page_type"),
+            host_expr(F.col("url")).alias("host"),
+        )
+        fetched = fetch_join(sched, pages, 16, batch_rows=10, files_per_bucket=fpb)
+        got = {r["url"]: r["html"] for r in fetched.collect()}
+        assert len(got) == 10 and all(v is not None for v in got.values())
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_bucket_modulus_mismatch_raises(self, spark, site_dirs):
+        tmp, pages_path = site_dirs
+        with pytest.raises(ValueError, match="n_buckets"):
+            plans.run(
+                spark, pages_path, sm.SEED_URLS, f"{tmp}/run_mismatch",
+                CrawlConfig(round_seconds=16, n_page_buckets=8),
+            )
+
+
 class TestE2EDifferential:
     def test_engine_matches_oracle_exactly(self, spark, smoke_site, site_dirs):
         _, corpus, ores = smoke_site
@@ -173,6 +242,9 @@ class TestMissingPages404:
             .partitionBy("bucket", "file_in_bucket")
             .parquet(pages_path)
         )
+        from beeradvocate_crawler_spark.sources.corpus import write_corpus_meta
+
+        write_corpus_meta(pages_path, 16, 4)
         plans.run(spark, pages_path, sm.SEED_URLS, f"{tmp}/run",
                   CrawlConfig(round_seconds=16))
         errs = compare(spark, f"{tmp}/run", ores, corpus)
