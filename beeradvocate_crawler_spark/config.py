@@ -39,7 +39,14 @@ class CrawlConfig:
     # range-partitioned ranking (operators/ordering.py).  64k keeps the
     # serial sort bounded while small rounds stay single-stage.
     big_batch_threshold: int = 1 << 16
-    # hot-host salting (A14): admitted rows of a host exceeding this
-    # count get a salt column appended to the fetch/parse partition key
+    # hot-host salting (A14, operators/politeness.py:_salted_topk): a
+    # quota-CONSTRAINED host with more than hot_host_threshold eligible
+    # rows is ranked via salted two-phase top-k over n_salts salts
+    # instead of one single-task host window (same admit set; tested)
     hot_host_threshold: int = 4096
     n_salts: int = 16
+    # host_state joins broadcast below this many hosts (upper-bound
+    # tracked in snapshot lineage); above it they fall back to a
+    # co-partitioned shuffle join — a broadcast hash relation of 10^8
+    # hosts per round won't fit executor memory
+    broadcast_hosts_threshold: int = 5_000_000

@@ -180,9 +180,13 @@ def canonicalize_series(href: pd.Series, base: pd.Series | None = None) -> pd.Se
     out = pd.Series(pd.NA, index=href.index, dtype="object")
 
     resolved = _resolve_series(href, base) if base is not None else href
-    # non-http(s) schemes are None under canonicalize_url: settle now
+    # non-http(s) SCHEMES are None under canonicalize_url: settle now.
+    # Match on the scheme alone (`https?:`), not `https?://` — a
+    # same-scheme relative reference without authority ("https:x") is
+    # resolved against the base by urljoin, so it must fall through to
+    # the exact path, not be settled as non-http.
     non_http = href.str.match(_HAS_SCHEME) & ~href.str.match(
-        r"^https?://", case=False
+        r"^https?:", case=False
     )
     no_dots = ~resolved.str.contains("/.", regex=False)
     fast = no_dots & resolved.str.match(_CANON_NOQ)

@@ -82,7 +82,12 @@ def fetch_join(
 
     # broadcast the single url column (semi join) — half the serial
     # hash-relation build of a two-column broadcast; page_type is a
-    # pure function of the url, recomputed JVM-side on the hits
+    # pure function of the url, recomputed JVM-side on the hits.
+    # CONTRACT: callers must guarantee page_type == classify_expr(url)
+    # for every admitted row (true for the whole engine — the frontier
+    # only ever stores classifier output; asserted run-wide by
+    # testing.compare).  A caller with custom row typing must use the
+    # shuffle path above, whose output passes page_type through.
     from .links import classify_expr
 
     hits = (

@@ -94,14 +94,27 @@ def _extract_links(html: pd.Series, url: pd.Series) -> tuple[pd.Series, pd.Serie
 
 
 def _json_esc(s: pd.Series) -> pd.Series:
-    """Vectorized JSON string escaping (backslash, quote, control ws)."""
-    return (
+    """Vectorized JSON string escaping — full \\x00-\\x1f range, exactly
+    the set json.dumps escapes.  Leaving any control char raw would
+    make from_json silently null the record (rows vanish, no error)."""
+    out = (
         s.str.replace("\\", "\\\\", regex=False)
         .str.replace('"', '\\"', regex=False)
         .str.replace("\n", "\\n", regex=False)
         .str.replace("\r", "\\r", regex=False)
         .str.replace("\t", "\\t", regex=False)
     )
+    # rare residue (\x00-\x08, \x0b, \x0c, \x0e-\x1f) -> \u00XX; the
+    # contains() pre-test keeps the per-row callable off the hot path
+    rest = out.str.contains(_CTRL_RX, regex=True, na=False)
+    if rest.any():
+        out[rest] = out[rest].str.replace(
+            _CTRL_RX, lambda m: "\\u%04x" % ord(m.group()), regex=True
+        )
+    return out
+
+
+_CTRL_RX = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
 def _reviews_arr(html: pd.Series, url: pd.Series) -> pd.Series:

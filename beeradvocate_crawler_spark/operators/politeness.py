@@ -9,12 +9,19 @@ test).
 
 Physical notes for the 100 TB case:
 - the rules table is tiny per host and broadcast into the blocking join;
-- the admission window partitions by host — the single hot host
-  (ba.example by construction) makes this one fat partition.  The
-  quota cap bounds it: only PENDING rows compete, and the window's
-  input is pre-filtered to hosts with tokens, so the sort is
-  O(pending-per-host), not O(frontier).  AQE skew-join handles the
-  fetch side; parse-side salting happens in plans/crawl.py (A14).
+- host_state joins broadcast by default and fall back to a
+  co-partitioned shuffle join above a host-count threshold
+  (``broadcast_hosts=False`` — at 10^8 hosts a per-round broadcast
+  hash relation of the whole host table won't fit);
+- the admission ranking partitions by host — the single hot host
+  (ba.example by construction) makes this one fat partition.  Three
+  guards bound it: unconstrained hosts (quota covers all eligible
+  rows — the steady state) skip ranking entirely; constrained hosts
+  rank only their own pending rows, not the frontier; and a
+  quota-constrained HOT host (A14) is ranked via salted two-phase
+  top-k (``_salted_topk``) so no single task ever sorts the whole
+  host.  Fetch-side skew needs no salting: the fetch join key is the
+  uniformly-hashed url (operators/fetch.py).
 """
 
 from __future__ import annotations
@@ -60,6 +67,9 @@ def decide_round(
     host_state: DataFrame,
     rules: DataFrame | None,
     round_seconds: int,
+    broadcast_hosts: bool = True,
+    hot_host_threshold: int | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """A10+A11+A12 fused into ONE host-partitioned pipeline.
 
@@ -68,6 +78,11 @@ def decide_round(
       eligible  — competes for admission this round (not blocked; host's
                   robots known, or the row IS the robots fetch)
       admit     — within the host's token quota this round (A11/A12)
+      host_known — host present in host_state.  Every enqueued host is
+                  registered by the round loop's new_hosts upsert; a
+                  False here means a caller enqueued without
+                  registering, and the loop fails loudly on it (the
+                  row is retained, not silently dropped).
       tokens_refilled / n_elig — the token-bucket state the round loop
                   turns into host_state updates
 
@@ -79,12 +94,31 @@ def decide_round(
     Admission ranks eligible rows first inside the host window, so
     ``row_number() <= quota`` admits exactly the per-host top-k of the
     eligible subset.  Semantics identical to oracle.crawl steps 1–2
-    (differentially tested)."""
-    cand = pending.join(
-        F.broadcast(
-            host_state.select("host", "tokens", "crawl_delay", "robots_done")
-        ),
-        "host",
+    (differentially tested).
+
+    Physical knobs (none affect results — §4.2 determinism):
+      broadcast_hosts — False once the host table outgrows a broadcast
+        hash relation (10^8 hosts); both host-side joins then go
+        through a co-partitioned shuffle (AQE strategy).
+      hot_host_threshold / n_salts — A14 salted-key skew splitting: a
+        quota-constrained host with more than ``hot_host_threshold``
+        eligible rows is ranked in two phases — per-(host, salt)
+        partial top-quota over ``pmod(xxhash64(url), n_salts)`` salts
+        (spreads the hot host over n_salts tasks), then a final rank
+        over the <= n_salts*quota survivors.  Exact same admit set as
+        the single-window sort (total order, content-keyed salt).
+    """
+    hs_marked = host_state.select(
+        "host", "tokens", "crawl_delay", "robots_done"
+    ).withColumn("host_known", F.lit(True))
+    if broadcast_hosts:
+        hs_marked = F.broadcast(hs_marked)
+    cand = (
+        pending.join(hs_marked, "host", "left")
+        .withColumn("host_known", F.coalesce("host_known", F.lit(False)))
+        .withColumn("tokens", F.coalesce("tokens", F.lit(0.0)))
+        .withColumn("crawl_delay", F.coalesce("crawl_delay", F.lit(1.0)))
+        .withColumn("robots_done", F.coalesce("robots_done", F.lit(False)))
     )
     if rules is None:
         cand = cand.withColumn("blocked", F.lit(False))
@@ -114,15 +148,17 @@ def decide_round(
         "tokens_refilled",
         F.least(F.lit(TOKEN_BURST_FACTOR) * refill, F.col("tokens") + refill),
     ).withColumn("quota", F.floor("tokens_refilled").cast("long"))
-    # per-host eligible count via partial-aggregated groupBy + broadcast
-    # join back — NOT a host window, which would drag every row of the
+    # per-host eligible count via partial-aggregated groupBy + join
+    # back — NOT a host window, which would drag every row of the
     # hot host into one task (the single-host skew is by construction)
     elig_counts = (
         cand.where(F.col("eligible"))
         .groupBy("host")
         .agg(F.count("*").alias("n_elig"))
     )
-    cand = cand.join(F.broadcast(elig_counts), "host", "left").withColumn(
+    if broadcast_hosts:
+        elig_counts = F.broadcast(elig_counts)
+    cand = cand.join(elig_counts, "host", "left").withColumn(
         "n_elig", F.coalesce(F.col("n_elig"), F.lit(0))
     )
     # Hot-host guard: the per-host top-k sort is only needed when the
@@ -139,8 +175,13 @@ def decide_round(
     w_rank = Window.partitionBy("host").orderBy(
         F.col("eligible").desc(), *order_key(cand)
     )
+    is_hot = (
+        F.col("n_elig") > F.lit(hot_host_threshold)
+        if hot_host_threshold is not None
+        else F.lit(False)
+    )
     constrained = (
-        cand.where(F.col("n_elig") > F.col("quota"))
+        cand.where((F.col("n_elig") > F.col("quota")) & ~is_hot)
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn(
             "admit",
@@ -148,7 +189,47 @@ def decide_round(
         )
         .drop("rn")
     )
-    return unconstrained.unionByName(constrained).drop("quota", "robots_done")
+    out = unconstrained.unionByName(constrained)
+    if hot_host_threshold is not None:
+        out = out.unionByName(
+            _salted_topk(cand.where((F.col("n_elig") > F.col("quota")) & is_hot),
+                         n_salts)
+        )
+    return out.drop("quota", "robots_done")
+
+
+def _salted_topk(hot: DataFrame, n_salts: int) -> DataFrame:
+    """A14: exact per-host top-quota admission for quota-constrained
+    hot hosts WITHOUT a single-task host-wide sort.  Phase 1 ranks
+    within (host, salt) — the hot host's rows spread over ``n_salts``
+    tasks — keeping each salt's top quota (a row outside its salt's
+    top-quota has >= quota rows of its own salt ahead of it in the
+    total order, so it cannot be in the host top-quota).  Phase 2
+    ranks the <= n_salts*quota survivors per host and marks the true
+    winners; every input row is RETAINED with its admit flag (the
+    decided table is also the next round's pending source)."""
+    salted = hot.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(
+        F.col("eligible").desc(), *order_key(hot)
+    )
+    w2 = Window.partitionBy("host").orderBy(F.col("eligible").desc(), *order_key(hot))
+    winners = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= F.col("quota"))
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("eligible") & (F.col("_rn2") <= F.col("quota")))
+        .select("url")
+        .withColumn("_win", F.lit(True))
+    )
+    return (
+        hot.join(winners, "url", "left")
+        .withColumn(
+            "admit",
+            F.col("eligible") & (F.col("n_elig") > 0)
+            & F.coalesce(F.col("_win"), F.lit(False)),
+        )
+        .drop("_win")
+    )
 
 
 def host_updates_from_decided(decided: DataFrame) -> DataFrame:

@@ -2,9 +2,15 @@
 
 One round = one Spark job DAG (driver orchestrates; all data paths are
 DataFrame ops; Python only at the two Arrow boundaries: parse UDF and
-cuckoo cogroup).  Every round commits a snapshot (frontier rewrite +
-seen/ledger/parsed/metrics deltas) with per-partition-free lineage
-scalars, so ``resume`` continues bit-identically (§5.3 property).
+cuckoo cogroup).  Every round commits a snapshot — the PENDING
+frontier snapshot (written straight off the round's persisted decision
+table, never by joining/rewriting the full frontier history) plus
+append-only deltas (terminal frontier_log rows, seen, ledger, parsed,
+metrics) — so ``resume`` continues bit-identically (§5.3 property).
+Independent table writes are submitted from concurrent driver threads:
+the commit barrier waits for all of them, but their job latencies
+overlap instead of summing (the per-round serial floor governs N->4N
+scaling efficiency).
 
 Determinism inventory (§4.2): admission is a pure function of
 (frontier, host_state, round index); the batch rank is a total order;
@@ -57,6 +63,8 @@ def run(
     max_rounds: int | None = None,
 ) -> SnapshotCatalog:
     """Fresh crawl: seed, then loop rounds until the frontier drains."""
+    from ..functions.urlnorm import canonicalize_url, host_of
+
     cfg = cfg or CrawlConfig()
     cat = SnapshotCatalog(spark, run_dir)
     fr = seed_frontier(spark, seeds)
@@ -69,7 +77,7 @@ def run(
         F.lit(False).alias("robots_done"),
     )
     seen0 = frontier0.select("url_hash", "url", F.lit(0).alias("round"))
-    cat.write_round("frontier", frontier0, 0, REPLACE, partition_by=["state"],
+    cat.write_round("frontier", frontier0, 0, REPLACE,
                     skip_if_empty=False, n_rows=None)
     cat.write_round("host_state", host_state0, 0, REPLACE, skip_if_empty=False)
     cat.write_round("seen", seen0, 0, DELTA)
@@ -79,7 +87,11 @@ def run(
             S.build_delta_blobs(seen0, cfg.n_filter_partitions, 0),
             0, DELTA, skip_if_empty=False,
         )
-    cat.commit_round(0, lineage={"next_rank": 0, "config": asdict(cfg)})
+    # host-count upper bound (drives broadcast-vs-shuffle host joins);
+    # seeds are a driver-side list, so this costs no job
+    n_hosts = len({host_of(canonicalize_url(s)) for s in seeds})
+    cat.commit_round(0, lineage={"next_rank": 0, "config": asdict(cfg),
+                                 "n_hosts_ub": n_hosts})
     return _loop(spark, cat, pages_path, cfg, max_rounds)
 
 
@@ -91,12 +103,16 @@ def resume(
     max_rounds: int | None = None,
 ) -> SnapshotCatalog:
     """A18: continue from the latest committed snapshot, bit-identically.
-    Missing filter blobs (e.g. catalog copied without seen_filter) are
-    rebuilt from the authoritative ``seen`` table."""
+    Per-partition lineage is validated first (A19): a missing/truncated
+    part file rolls the snapshot back to the newest fully-valid round,
+    whose lost successors are re-run deterministically.  Missing filter
+    blobs (e.g. catalog copied without seen_filter) are rebuilt from
+    the authoritative ``seen`` table."""
     cat = SnapshotCatalog(spark, run_dir)
     m = cat.latest()
     if m is None:
         raise ValueError(f"no snapshot to resume in {run_dir}")
+    m = cat.rollback_to_valid()
     cfg = cfg or CrawlConfig(**{
         k: v for k, v in (m.lineage.get("config") or {}).items()
     })
@@ -132,12 +148,15 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     cfg._files_per_bucket = fpb
     m = cat.latest()
     next_rank = int(m.lineage.get("next_rank", 0))
+    n_hosts_ub = m.lineage.get("n_hosts_ub")
     rnd = m.round
     rounds_done = 0
     while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
         rnd += 1
         t0 = time.time()
-        progressed, next_rank = _run_round(spark, cat, pages, cfg, rnd, next_rank, t0)
+        progressed, next_rank, n_hosts_ub = _run_round(
+            spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0
+        )
         rounds_done += 1
         if not progressed:
             break
@@ -146,18 +165,31 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     return cat
 
 
-def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
+def _run_round(
+    spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0
+) -> tuple[bool, int, int | None]:
     fr = cat.read("frontier")
     hs = cat.read("host_state")
     rules = cat.read("robots_rules")
     seen = cat.read("seen")
     blobs = cat.read("seen_filter") if cfg.use_cuckoo else None
 
+    # the frontier table holds ONLY pending rows (terminal rows go to
+    # the append-only frontier_log) — the filter is a no-op kept for
+    # resume compatibility with pre-split run dirs
     pending = fr.filter(F.col("state") == PENDING).drop("state")
+    broadcast_hosts = (
+        n_hosts_ub is None or n_hosts_ub <= cfg.broadcast_hosts_threshold
+    )
     # 1.+2. robots marking + token-bucket admission fused into ONE
     # host-partitioned pipeline (A10/A11/A12); every per-round count
     # comes from a single aggregation over the cached decision table
-    decided = decide_round(pending, hs, rules, cfg.round_seconds).persist()
+    decided = decide_round(
+        pending, hs, rules, cfg.round_seconds,
+        broadcast_hosts=broadcast_hosts,
+        hot_host_threshold=cfg.hot_host_threshold,
+        n_salts=cfg.n_salts,
+    ).persist()
     agg = decided.agg(
         F.sum(F.col("blocked").cast("long")).alias("nb"),
         F.sum((~F.col("blocked")).cast("long")).alias("np"),
@@ -165,34 +197,64 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
         F.sum(
             (F.col("admit") & (F.col("page_type") == "robots")).cast("long")
         ).alias("nr"),
+        F.sum((~F.col("host_known")).cast("long")).alias("nu"),
     ).collect()[0]
     n_blocked = int(agg["nb"] or 0)
     n_pending_after = int(agg["np"] or 0)
     n_admitted = int(agg["na"] or 0)
     n_robots = int(agg["nr"] or 0)
-    blocked = decided.filter(F.col("blocked")).select("url")
+    if int(agg["nu"] or 0):
+        raise RuntimeError(
+            f"round {rnd}: {agg['nu']} pending rows reference hosts missing "
+            "from host_state — something enqueued URLs without registering "
+            "their hosts (politeness invariant; see decide_round docstring)"
+        )
     admitted = decided.filter(F.col("admit")).select(*pending.columns)
     host_updates = host_updates_from_decided(decided)
 
+    # terminal rows leave the frontier via the append-only log; the
+    # remaining pending set comes straight off the persisted decision
+    # table — NO per-round join against (or rewrite of) the full
+    # frontier history, which is what makes a round O(pending + delta)
+    # instead of O(all urls ever discovered)
+    fcols = pending.columns
+    terminal = decided.filter(F.col("blocked") | F.col("admit")).select(
+        *fcols,
+        F.when(F.col("blocked"), F.lit(ROBOTS_BLOCKED))
+        .otherwise(F.lit(DONE)).alias("state"),
+    )
+    leftover = decided.filter(~F.col("blocked") & ~F.col("admit")).select(
+        *fcols, F.lit(PENDING).alias("state")
+    )
+
     if n_pending_after == 0:
-        # drained: persist any final blocked-state marks, then stop
-        if n_blocked:
-            fr2 = _apply_state_changes(fr, blocked, None)
-            cat.write_round("frontier", fr2, rnd, REPLACE, ["state"], False)
+        # drained: flush final terminal marks, empty the pending set, stop
+        cat.write_round("frontier", leftover, rnd, REPLACE,
+                        skip_if_empty=False, n_rows=0)
+        cat.write_round("frontier_log", terminal, rnd, DELTA, n_rows=n_blocked)
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "drained": True,
-                                       "config": asdict(cfg)})
+                                       "config": asdict(cfg),
+                                       "n_hosts_ub": n_hosts_ub})
         decided.unpersist()
-        return False, next_rank
+        return False, next_rank, n_hosts_ub
 
     if n_admitted == 0:
-        # token starvation round: only state marks + refill bookkeeping
-        fr2 = _apply_state_changes(fr, blocked if n_blocked else None, None)
-        cat.write_round("frontier", fr2, rnd, REPLACE, ["state"], False)
+        # token starvation round: only terminal marks + refill bookkeeping
         hs2 = _apply_host_updates(hs, host_updates, None, None)
-        cat.write_round("host_state", hs2, rnd, REPLACE, skip_if_empty=False)
-        cat.commit_round(rnd, lineage={"next_rank": next_rank, "config": asdict(cfg)})
+        _write_all([
+            lambda: cat.write_round("frontier", leftover, rnd, REPLACE,
+                                    skip_if_empty=False,
+                                    n_rows=n_pending_after),
+            lambda: cat.write_round("frontier_log", terminal, rnd, DELTA,
+                                    n_rows=n_blocked),
+            lambda: cat.write_round("host_state", hs2, rnd, REPLACE,
+                                    skip_if_empty=False),
+        ])
+        cat.commit_round(rnd, lineage={"next_rank": next_rank,
+                                       "config": asdict(cfg),
+                                       "n_hosts_ub": n_hosts_ub})
         decided.unpersist()
-        return True, next_rank
+        return True, next_rank, n_hosts_ub
 
     # 3. deterministic global order -> ledger (A20)
     ranked = with_global_rank(
@@ -293,14 +355,21 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
 
     robots_rows = robots_injection(new_rows, hs, seen, rnd)
     new_frontier = new_rows.unionByName(robots_rows).persist()
-    n_new = new_frontier.count()
+    # one job: delta size + exact new-host count (the countDistinct is
+    # over this round's NEW rows only, not the frontier)
+    nf_agg = new_frontier.agg(
+        F.count("*").alias("n"), F.countDistinct("host").alias("h")
+    ).collect()[0]
+    n_new = int(nf_agg["n"])
+    if n_hosts_ub is not None:
+        n_hosts_ub = n_hosts_ub + int(nf_agg["h"])  # upper bound: some known
 
-    # 8. frontier rewrite + host state + deltas, one snapshot commit (A17)
-    changes = ranked.select("url", F.lit(DONE).alias("new_state"))
-    fr2 = _apply_state_changes(fr, blocked if n_blocked else None, changes)
-    fr3 = fr2.unionByName(new_frontier.select(*fr2.columns))
-    cat.write_round("frontier", fr3, rnd, REPLACE, ["state"], False)
-
+    # 8. pending snapshot + terminal log + host state + deltas, one
+    # snapshot commit (A17).  All writes are independent tables, so
+    # they are submitted CONCURRENTLY (Spark schedules jobs from
+    # multiple driver threads) — the per-round serial floor is the sum
+    # of their job latencies otherwise, which is exactly the Amdahl
+    # term that kills N->4N scaling efficiency on small rounds.
     new_hosts = (
         new_frontier.select("host").distinct()
         .join(hs.select("host"), "host", "left_anti")
@@ -308,27 +377,9 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
                 F.lit(1.0).alias("crawl_delay"), F.lit(False).alias("robots_done"))
     )
     hs2 = _apply_host_updates(hs, host_updates, robots_res, new_hosts)
-    cat.write_round("host_state", hs2, rnd, REPLACE, skip_if_empty=False)
-
+    pending_next = leftover.unionByName(new_frontier)
     seen_delta = new_frontier.select("url_hash", "url", F.lit(rnd).alias("round"))
-    cat.write_round("seen", seen_delta, rnd, DELTA, n_rows=n_new)
-    if cfg.use_cuckoo:
-        if rnd % cfg.filter_compact_every == 0:
-            all_seen = seen.unionByName(seen_delta) if seen is not None else seen_delta
-            cat.write_round(
-                "seen_filter",
-                S.compact_blobs(all_seen, cfg.n_filter_partitions, rnd),
-                rnd, REPLACE, skip_if_empty=False,
-            )
-        elif n_new:
-            cat.write_round(
-                "seen_filter",
-                S.build_delta_blobs(new_frontier, cfg.n_filter_partitions, rnd),
-                rnd, DELTA, skip_if_empty=False,
-            )
-    cat.write_round("crawl_order", ledger, rnd, DELTA, n_rows=n_admitted)
-
-    # 9. per-round metrics (A19)
+    wall_ms = int((time.time() - t0) * 1000)
     stats = (
         parsed.groupBy("page_type")
         .agg(
@@ -340,13 +391,43 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
         .withColumn("round", F.lit(rnd))
         .withColumn("n_new_urls", F.lit(n_new))
         .withColumn("n_blocked", F.lit(n_blocked))
-        .withColumn("wall_ms", F.lit(int((time.time() - t0) * 1000)))
+        .withColumn("wall_ms", F.lit(wall_ms))
     )
-    cat.write_round("round_metrics", stats, rnd, DELTA, skip_if_empty=False)
+
+    writes = [
+        lambda: cat.write_round("frontier", pending_next, rnd, REPLACE,
+                                skip_if_empty=False,
+                                n_rows=n_pending_after - n_admitted + n_new),
+        lambda: cat.write_round("frontier_log", terminal, rnd, DELTA,
+                                n_rows=n_blocked + n_admitted),
+        lambda: cat.write_round("host_state", hs2, rnd, REPLACE,
+                                skip_if_empty=False),
+        lambda: cat.write_round("seen", seen_delta, rnd, DELTA, n_rows=n_new),
+        lambda: cat.write_round("crawl_order", ledger, rnd, DELTA,
+                                n_rows=n_admitted),
+        lambda: cat.write_round("round_metrics", stats, rnd, DELTA,
+                                skip_if_empty=False),
+    ]
+    if cfg.use_cuckoo:
+        if rnd % cfg.filter_compact_every == 0:
+            all_seen = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            writes.append(lambda: cat.write_round(
+                "seen_filter",
+                S.compact_blobs(all_seen, cfg.n_filter_partitions, rnd),
+                rnd, REPLACE, skip_if_empty=False,
+            ))
+        elif n_new:
+            writes.append(lambda: cat.write_round(
+                "seen_filter",
+                S.build_delta_blobs(new_frontier, cfg.n_filter_partitions, rnd),
+                rnd, DELTA, skip_if_empty=False,
+            ))
+    _write_all(writes)
 
     cat.commit_round(
         rnd,
-        lineage={"next_rank": next_rank + n_admitted, "config": asdict(cfg)},
+        lineage={"next_rank": next_rank + n_admitted, "config": asdict(cfg),
+                 "n_hosts_ub": n_hosts_ub},
         metrics={
             "n_admitted": n_admitted, "n_new": n_new, "n_blocked": n_blocked,
             "n_pending_before": n_pending_after,
@@ -355,22 +436,20 @@ def _run_round(spark, cat, pages, cfg, rnd, next_rank, t0) -> tuple[bool, int]:
     for df in (decided, ranked, robots_res, new_frontier):
         if df is not None:
             df.unpersist()
-    return True, next_rank + n_admitted
+    return True, next_rank + n_admitted, n_hosts_ub
 
 
-def _apply_state_changes(fr, blocked, done_changes):
-    out = fr
-    if blocked is not None:
-        out = out.join(
-            blocked.select("url", F.lit(ROBOTS_BLOCKED).alias("_blk")), "url", "left"
-        ).withColumn(
-            "state", F.coalesce(F.col("_blk"), F.col("state"))
-        ).drop("_blk")
-    if done_changes is not None:
-        out = out.join(done_changes, "url", "left").withColumn(
-            "state", F.coalesce(F.col("new_state"), F.col("state"))
-        ).drop("new_state")
-    return out
+def _write_all(writes):
+    """Run independent staged table writes concurrently.  Each callable
+    issues one Spark write job; submission from multiple driver threads
+    lets the scheduler overlap their (mostly fixed) latencies.  Any
+    failure propagates before commit, so the snapshot protocol's
+    all-or-nothing property is preserved."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        for f in [ex.submit(w) for w in writes]:
+            f.result()
 
 
 def _apply_host_updates(hs, token_updates, robots_res, new_hosts):
@@ -407,9 +486,12 @@ def result_tables(spark: SparkSession, run_dir: str) -> dict[str, DataFrame]:
             "url", "page_type", "text"
         )
         out["parsed"] = parsed
-    for t in ("crawl_order", "seen", "frontier", "round_metrics", "host_state",
-              "robots_rules", "seen_filter"):
+    for t in ("crawl_order", "seen", "frontier", "frontier_log",
+              "round_metrics", "host_state", "robots_rules", "seen_filter"):
         df = cat.read(t)
         if df is not None:
             out[t] = df
+    # external "frontier" view = live pending snapshot + terminal log
+    if "frontier" in out and "frontier_log" in out:
+        out["frontier"] = out["frontier"].unionByName(out["frontier_log"])
     return out

@@ -17,6 +17,17 @@ Commit protocol: write parquet dirs -> write manifest json -> atomic
 ``os.replace`` of the pointer.  A crash between steps leaves the old
 snapshot intact (exact resume, BASELINE.json north_rule).
 
+Per-partition lineage (A19): every write also inventories its part
+files — path, byte size, and parquet-footer row count — into the
+manifest.  ``validate()`` re-checks that inventory (existence, size,
+footer readability + row count), so ``resume`` detects a missing or
+truncated partition file and rolls back to the newest fully-valid
+snapshot instead of continuing from corrupt state.  (This replaces the
+``df.observe`` design sketched in SURVEY §2 A19: observe() crashes on
+observed nodes under persist+union feeding a write command in this
+Spark build, and footer-level inventory is stronger — it validates the
+bytes actually on disk, not counters from the write-time plan.)
+
 The interface is deliberately narrow (``read / write_round /
 commit_round / latest``) so a real ``iceberg-spark-runtime`` catalog
 can replace it unmodified when a jar is available.
@@ -26,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -66,6 +78,10 @@ class SnapshotCatalog:
         self.run_dir = run_dir
         os.makedirs(os.path.join(run_dir, "_manifests"), exist_ok=True)
         self._staged: dict[str, dict[str, Any]] = {}
+        # write_round is called from concurrent driver threads (the
+        # round loop overlaps independent table writes); the parquet
+        # writes themselves are independent, only staging is shared
+        self._stage_lock = threading.Lock()
 
     # -- snapshot pointer ------------------------------------------------------
     def latest(self) -> Manifest | None:
@@ -99,15 +115,42 @@ class SnapshotCatalog:
         if skip_if_empty and n_rows is None:
             n_rows = df.count()
         if skip_if_empty and n_rows == 0:
-            self._staged.setdefault(name, {"mode": mode, "path": None, "rows": 0})
+            with self._stage_lock:
+                self._staged.setdefault(
+                    name, {"mode": mode, "path": None, "rows": 0}
+                )
             return 0
         path = os.path.join(self.run_dir, name, f"r={r:06d}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        self._staged[name] = {"mode": mode, "path": path, "rows": int(n_rows or -1)}
+        with self._stage_lock:
+            self._staged[name] = {
+                "mode": mode, "path": path, "rows": int(n_rows or -1),
+                "files": self._inventory(path),
+            }
         return int(n_rows or -1)
+
+    def _inventory(self, path: str) -> list[dict[str, Any]]:
+        """Per-partition lineage: (relpath, bytes, footer row count)
+        for every part file just written.  Footer reads are metadata-
+        only (KBs each) — driver-side cost is negligible next to the
+        write job itself."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for root, _dirs, fnames in os.walk(path):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                files.append({
+                    "path": os.path.relpath(p, self.run_dir),
+                    "bytes": os.path.getsize(p),
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                })
+        return files
 
     def commit_round(
         self,
@@ -130,25 +173,96 @@ class SnapshotCatalog:
                     "mode": REPLACE,
                     "paths": [staged["path"]] if staged["path"] else old.get("paths", []),
                     "rows": staged["rows"],
+                    "files": (staged.get("files", []) if staged["path"]
+                              else old.get("files", [])),
                 }
             else:
                 paths = list(old.get("paths", []))
+                files = list(old.get("files", []))
                 if staged["path"]:
                     paths.append(staged["path"])
+                    files.extend(staged.get("files", []))
                 m.tables[name] = {
                     "mode": DELTA,
                     "paths": paths,
                     "rows": old.get("rows", 0) + max(0, staged["rows"]),
+                    "files": files,
                 }
         mf = f"manifest-{r:06d}.json"
         with open(os.path.join(self.run_dir, "_manifests", mf), "w") as f:
             f.write(m.to_json())
+        self._write_pointer(r, mf)
+        self._staged = {}
+        return m
+
+    def _write_pointer(self, r: int, mf: str) -> None:
         tmp = os.path.join(self.run_dir, "_SNAPSHOT.tmp")
         with open(tmp, "w") as f:
             json.dump({"round": r, "manifest": mf}, f)
         os.replace(tmp, os.path.join(self.run_dir, "_SNAPSHOT"))  # atomic
-        self._staged = {}
-        return m
+
+    # -- per-partition lineage validation (A19) --------------------------------
+    def validate(self, manifest: Manifest | None = None) -> list[str]:
+        """Check every manifest-listed part file: exists, byte size
+        matches, parquet footer still readable with the recorded row
+        count.  Returns problem strings (empty = valid snapshot)."""
+        import pyarrow.parquet as pq
+
+        m = manifest or self.latest()
+        if m is None:
+            return ["no snapshot"]
+        problems: list[str] = []
+        for name, t in sorted(m.tables.items()):
+            for fe in t.get("files", []):
+                p = os.path.join(self.run_dir, fe["path"])
+                if not os.path.exists(p):
+                    problems.append(f"{name}: missing {fe['path']}")
+                    continue
+                if os.path.getsize(p) != fe["bytes"]:
+                    problems.append(
+                        f"{name}: size {os.path.getsize(p)} != {fe['bytes']} "
+                        f"for {fe['path']}"
+                    )
+                    continue
+                try:
+                    n = pq.ParquetFile(p).metadata.num_rows
+                except Exception as e:
+                    problems.append(f"{name}: unreadable footer {fe['path']}: {e}")
+                    continue
+                if n != fe["rows"]:
+                    problems.append(
+                        f"{name}: rows {n} != {fe['rows']} for {fe['path']}"
+                    )
+        return problems
+
+    def rollback_to_valid(self) -> "Manifest":
+        """Walk snapshots newest-first until one passes validate();
+        re-point _SNAPSHOT at it.  A corrupt delta file taints every
+        snapshot from its write round on, so this lands on the newest
+        snapshot strictly older than the corruption — re-running the
+        lost rounds is deterministic (§4.2) and overwrites the bad
+        files in place.  Raises if no snapshot at all is valid."""
+        m = self.latest()
+        if m is None:
+            raise ValueError(f"no snapshot in {self.run_dir}")
+        first_problems = None
+        r = m.round
+        while r >= 0:
+            try:
+                mr = self.manifest_for_round(r)
+            except FileNotFoundError:
+                break
+            probs = self.validate(mr)
+            if not probs:
+                if r != m.round:
+                    self._write_pointer(r, f"manifest-{r:06d}.json")
+                return mr
+            first_problems = first_problems or probs
+            r -= 1
+        raise ValueError(
+            "no valid snapshot to resume from; latest problems: "
+            + "; ".join((first_problems or [])[:5])
+        )
 
     # -- reads -----------------------------------------------------------------
     def read_staged(self, name: str) -> DataFrame | None:

@@ -90,6 +90,45 @@ def sliding_host_metrics(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def session_host_metrics(pages_stream: DataFrame, gap: str = "30 seconds") -> DataFrame:
+    """S4: session windows — per-host fetch sessions closed after
+    ``gap`` of event-time inactivity (``F.session_window``)."""
+    host = F.parse_url("url", F.lit("HOST")).alias("host")
+    return (
+        pages_stream.select("ts", host)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", gap), "host")
+        .agg(F.count("*").alias("n_fetched"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("sess_end_epoch"),
+            "host", "n_fetched",
+        )
+    )
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """S5: drive a bounded stream through a ``foreachBatch`` sink with
+    a DURABLE ``checkpointLocation``.  ``batch_fn(df, epoch_id)`` is
+    the per-micro-batch commit (e.g. parquet append); restarting the
+    same (source, checkpoint) pair reprocesses nothing — the offset log
+    makes the sink exactly-once, which is the property the crawl's
+    snapshot-commit protocol needs from a streaming deployment."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_seen_dedupe(pages_stream: DataFrame) -> DataFrame:
     """S2: stateful URL-seen — state-store dedupe on the canonical hash."""
     return (

@@ -4,14 +4,33 @@ and scripts/diff_vs_oracle.py."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from . import oracle
 from .plans import crawl as plans
 from .functions.xxh64 import xxh64_signed
+from .operators.links import classify_expr
 
 
 def compare(spark, run_dir: str, ores, corpus) -> list[str]:
     errs: list[str] = []
     t = plans.result_tables(spark, run_dir)
+
+    # fetch_join contract (operators/fetch.py): the broadcast path
+    # recomputes page_type = classify_expr(url) on corpus hits, which
+    # is only sound if every frontier row's stored page_type equals the
+    # classifier's output — assert that invariant over the whole run
+    if "frontier" in t:
+        n_bad_pt = (
+            t["frontier"]
+            .where(F.col("page_type") != classify_expr(F.col("url")))
+            .count()
+        )
+        if n_bad_pt:
+            errs.append(
+                f"{n_bad_pt} frontier rows violate page_type=="
+                "classify_expr(url) (fetch_join broadcast-path contract)"
+            )
 
     got_order = [
         (r["rank"], r["round"], r["url"])

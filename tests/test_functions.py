@@ -193,6 +193,10 @@ class TestCanonicalizeProperty:
         "101/", "/beer/profile/12/", "/community/members/t_1.1/",
         "robots.txt", "/robots.txt", "x//y", "/x//y/", "a=1&b=2",
         "https://h/x?", "https://h/x?#", "https://h/.hidden/",
+        # same-scheme relative references WITHOUT authority: urljoin
+        # resolves these against the base (RFC 3986 legacy-scheme rule),
+        # so they must reach the exact fallback, not settle as non-http
+        "https:x", "http:x", "https:../y", "https:?a=1", "HTTPS:x", "https:",
     ]
     BASES = [
         "https://ba.example/place/directory/",

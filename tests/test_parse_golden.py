@@ -80,3 +80,20 @@ def test_text_byte_identity_against_generator():
         if p["url"].endswith("robots.txt"):
             continue
         assert html_to_text(p["html"].decode("utf-8")) == p["text"]
+
+
+def test_json_esc_roundtrips_control_chars():
+    """Every \\x00-\\x1f char must escape to what json.dumps produces,
+    or from_json silently nulls the record downstream."""
+    import json
+
+    import pandas as pd
+
+    from beeradvocate_crawler_spark.operators.parse import _json_esc
+
+    vals = (
+        ["plain", 'q"q', "b\\s", "nl\nx\r", "tab\t"]
+        + [f"a{chr(c)}b" for c in range(0x20)]
+    )
+    esc = _json_esc(pd.Series(vals))
+    assert [json.loads(f'"{e}"') for e in esc] == vals

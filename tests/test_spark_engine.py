@@ -145,6 +145,39 @@ class TestE2EDifferential:
         errs = compare(spark, run_dir, ores, corpus)
         assert not errs, "\n".join(errs)
 
+    def test_resume_detects_corrupt_partition(self, spark, smoke_site, site_dirs):
+        """A19 lineage: truncate one part file of the newest round's
+        seen delta; resume must detect it via the manifest's per-file
+        inventory, roll back to the previous snapshot, deterministically
+        re-run the lost round, and still match the oracle exactly."""
+        import os
+
+        from beeradvocate_crawler_spark.sources.catalog import SnapshotCatalog
+
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_corrupt"
+        cat = plans.run(
+            spark, pages_path, sm.SEED_URLS, run_dir,
+            CrawlConfig(round_seconds=16), max_rounds=4,
+        )
+        m = cat.latest()
+        last = m.round
+        victims = [
+            fe["path"] for fe in m.tables["seen"]["files"]
+            if fe["path"].startswith(f"seen/r={last:06d}")
+        ]
+        assert victims, "expected a seen delta in the last round"
+        victim = os.path.join(run_dir, victims[0])
+        with open(victim, "r+b") as f:
+            f.truncate(max(os.path.getsize(victim) // 2, 1))
+
+        cat2 = SnapshotCatalog(spark, run_dir)
+        assert cat2.validate(), "corruption must be visible to validate()"
+        plans.resume(spark, pages_path, run_dir)
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
+
     def test_cuckoo_off_equivalence(self, spark, smoke_site, site_dirs):
         """The cuckoo pre-filter is a pruning accelerator only — outputs
         with it disabled are identical (SURVEY.md §7.1 exactness layering)."""
@@ -167,6 +200,24 @@ class TestE2EDifferential:
         plans.run(
             spark, pages_path, sm.SEED_URLS, run_dir,
             CrawlConfig(round_seconds=16, big_batch_threshold=0),
+        )
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
+
+    def test_salted_and_shuffle_host_paths_equivalence(
+        self, spark, smoke_site, site_dirs
+    ):
+        """Force BOTH physical fallbacks at once — hot-host salted
+        two-phase admission (A14, hot_host_threshold=0 makes every
+        constrained host 'hot') and shuffle host_state joins
+        (broadcast_hosts_threshold=0) — outputs must stay exact."""
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_salted"
+        plans.run(
+            spark, pages_path, sm.SEED_URLS, run_dir,
+            CrawlConfig(round_seconds=16, hot_host_threshold=0, n_salts=4,
+                        broadcast_hosts_threshold=0),
         )
         errs = compare(spark, run_dir, ores, corpus)
         assert not errs, "\n".join(errs)

@@ -75,3 +75,53 @@ def test_token_bucket_stream_respects_quota(spark, pages_path):
     # (can't observe batch boundaries directly; the invariant that
     # holds regardless: total admitted <= total refill <= 8 * n_batches)
     assert len(admitted) <= len(rows)
+
+
+def test_session_window_matches_batch(spark, pages_path):
+    """S4 session windows: stream result == the same session_window
+    aggregation run in batch mode."""
+    stream = S.corpus_stream(spark, pages_path)
+    got = S.run_to_memory(S.session_host_metrics(stream)).collect()
+    host = F.parse_url("url", F.lit("HOST")).alias("host")
+    batch = (
+        spark.read.parquet(pages_path)
+        .withColumn("ts", F.col("warc_ts").cast("timestamp"))
+        .select("ts", host)
+        .groupBy(F.session_window("ts", "30 seconds"), "host")
+        .agg(F.count("*").alias("n_fetched"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("sess_end_epoch"),
+            "host", "n_fetched",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert got, "expected at least one session"
+
+
+def test_foreach_batch_checkpoint_exactly_once(spark, pages_path):
+    """S5: foreachBatch + checkpointLocation — the full corpus lands in
+    the sink exactly once, and a restart over the same checkpoint
+    reprocesses nothing."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="ba_s5_")
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+    def commit(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    stream = S.corpus_stream(spark, pages_path).select("url", "ts")
+    S.run_foreach_batch(stream, commit, ckpt)
+    n_corpus = spark.read.parquet(pages_path).count()
+    first = spark.read.parquet(out).count()
+    assert first == n_corpus
+
+    # restart with the same checkpoint: offset log says all done
+    S.run_foreach_batch(
+        S.corpus_stream(spark, pages_path).select("url", "ts"), commit, ckpt
+    )
+    assert spark.read.parquet(out).count() == n_corpus
+    assert os.path.isdir(ckpt)
+    shutil.rmtree(tmp, ignore_errors=True)
