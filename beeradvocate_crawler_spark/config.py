@@ -12,9 +12,13 @@ class CrawlConfig:
     # and cluster-size-independent)
     round_seconds: int = 16
     max_rounds: int = 100000
-    # cuckoo-filter seen pre-filter (A8); exact anti-join stays authoritative
+    # cuckoo-filter seen pre-filter (A8); exact anti-join stays authoritative.
+    # Partition count caps the parallelism of the two Python blob stages
+    # (probe cogroup + delta build) — 8 was a measured 4->16-thread
+    # scaling sink in the heavy rounds; results are partition-count
+    # independent (the exact anti-join is the authority)
     use_cuckoo: bool = True
-    n_filter_partitions: int = 8
+    n_filter_partitions: int = 32
     # probe the filter only once `seen` exceeds this many rows: the
     # filter exists to avoid shuffling a HUGE seen table — while seen
     # is small the exact anti-join is cheaper than the cogroup's
@@ -23,6 +27,11 @@ class CrawlConfig:
     # identical either way — cuckoo on/off equivalence is a test.)
     cuckoo_min_seen_rows: int = 100_000
     filter_compact_every: int = 8  # rebuild delta blobs from `seen` every k rounds
+    # pre-merge seen filter: while `seen` fits a broadcast, already-seen
+    # child links are dropped map-side BEFORE the min-depth merge
+    # shuffle (most children are navigation back-links); beyond this the
+    # cuckoo pre-filter is the scale path.  ~2M urls ≈ 150 MB relation.
+    broadcast_seen_threshold: int = 2_000_000
     # pages corpus bucketing (fetch-join pruning); files_per_bucket is
     # normally read from the corpus writer's sidecar metadata
     # (sources/corpus.py) — set explicitly only to override it

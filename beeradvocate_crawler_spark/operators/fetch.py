@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 DEFAULT_BROADCAST_FETCH_THRESHOLD = 10_000_000
 
 
+def prune_key_expr(n_buckets: int, files_per_bucket: int | None):
+    """The partition key a (host, url) row lands in — as a string so a
+    caller can ``collect_set`` it inside an aggregation it already runs
+    (the round loop fuses this into its decision agg instead of paying
+    a separate distinct+collect job per round)."""
+    b = F.pmod(F.xxhash64("host"), F.lit(n_buckets))
+    if files_per_bucket:
+        return F.concat_ws("/", b, F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)))
+    return b.cast("string")
+
+
 def fetch_join(
     admitted: DataFrame,
     pages: DataFrame,
@@ -42,39 +53,34 @@ def fetch_join(
     batch_rows: int | None = None,
     broadcast_threshold: int = DEFAULT_BROADCAST_FETCH_THRESHOLD,
     files_per_bucket: int | None = None,
+    prune_keys: list[str] | None = None,
 ) -> DataFrame:
     """admitted (url, page_type, ...) x pages (url, html, bucket) ->
     (url, page_type, html); missing page => html null => fetch_status
-    404 downstream."""
+    404 downstream.  ``prune_keys`` = pre-collected ``prune_key_expr``
+    values (skips the collect job here)."""
     corpus = pages
     if prune_buckets and "bucket" in pages.columns:
+        if prune_keys is None:
+            prune_keys = [
+                r["k"]
+                for r in admitted.select(
+                    prune_key_expr(n_buckets, files_per_bucket).alias("k")
+                )
+                .distinct()
+                .collect()
+            ]
         if files_per_bucket and "file_in_bucket" in pages.columns:
             # two-level partition pruning (host bucket x url-hash file):
             # a k-URL round touches at most k partition directories, so
             # tiny rounds scan tiny corpora
-            fpb = files_per_bucket
-            keys = [
-                f"{r['b']}/{r['f']}"
-                for r in admitted.select(
-                    F.pmod(F.xxhash64("host"), F.lit(n_buckets)).alias("b"),
-                    F.pmod(F.xxhash64("url"), F.lit(fpb)).alias("f"),
-                )
-                .distinct()
-                .collect()
-            ]
             corpus = pages.where(
-                F.concat_ws("/", "bucket", "file_in_bucket").isin(keys)
+                F.concat_ws("/", "bucket", "file_in_bucket").isin(prune_keys)
             )
         else:
-            buckets = [
-                r["b"]
-                for r in admitted.select(
-                    F.pmod(F.xxhash64("host"), F.lit(n_buckets)).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-            corpus = pages.where(F.col("bucket").isin(buckets))
+            corpus = pages.where(
+                F.col("bucket").isin([int(k.split("/")[0]) for k in prune_keys])
+            )
 
     sched = admitted.select("url", "page_type")
     if batch_rows is not None and batch_rows > broadcast_threshold:

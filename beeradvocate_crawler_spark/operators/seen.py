@@ -81,8 +81,15 @@ def cuckoo_prefilter(
     )
 
 
-def build_delta_blobs(new_rows: DataFrame, n_parts: int, rnd: int) -> DataFrame:
-    """Fresh delta blob per partition holding this round's new keys."""
+def build_delta_blobs(
+    new_rows: DataFrame, n_parts: int, rnd: int, n_rows: int | None = None
+) -> DataFrame:
+    """Fresh delta blob per partition holding this round's new keys.
+
+    Task count adapts to the delta size (each task builds the blobs of
+    the partition_ids it holds — blob layout is always the n_parts
+    pmod, independent of task count), so a 100-row round doesn't pay
+    n_parts python-worker round-trips while a 1M-row round fans out."""
 
     def build(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
@@ -99,12 +106,15 @@ def build_delta_blobs(new_rows: DataFrame, n_parts: int, rnd: int) -> DataFrame:
                     }
                 )
 
+    n_tasks = n_parts
+    if n_rows is not None:
+        n_tasks = max(1, min(n_parts, n_rows // 50_000 + 1))
     return (
         new_rows.select(
             partition_id_expr(F.col("url_hash"), n_parts).alias("partition_id"),
             "url_hash",
         )
-        .repartition(n_parts, "partition_id")
+        .repartition(n_tasks, "partition_id")
         .mapInPandas(build, BLOB_SCHEMA)
     )
 

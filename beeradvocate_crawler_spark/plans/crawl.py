@@ -22,6 +22,7 @@ evidenced in-sandbox (BENCH/BASELINE.md).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import asdict
 
@@ -31,7 +32,7 @@ from pyspark.sql import functions as F
 from ..config import CrawlConfig
 from ..operators import links as L
 from ..operators import seen as S
-from ..operators.fetch import fetch_join
+from ..operators.fetch import fetch_join, prune_key_expr
 from ..operators.frontier import (
     DONE,
     PENDING,
@@ -157,12 +158,21 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
         progressed, next_rank, n_hosts_ub = _run_round(
             spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0
         )
+        _prof(rnd, t0, "round end")
         rounds_done += 1
         if not progressed:
             break
     if cfg.cache_pages:
         pages.unpersist()
     return cat
+
+
+def _prof(rnd, t0, label):
+    """Opt-in phase timing (SPARK_GRAFT_PROF=1): one line per round
+    phase, elapsed-since-round-start.  The scaling-efficiency work
+    lives or dies on knowing which phase stops scaling."""
+    if os.environ.get("SPARK_GRAFT_PROF"):
+        print(f"PROF r={rnd} +{time.time() - t0:7.2f}s {label}", flush=True)
 
 
 def _run_round(
@@ -176,8 +186,17 @@ def _run_round(
 
     # the frontier table holds ONLY pending rows (terminal rows go to
     # the append-only frontier_log) — the filter is a no-op kept for
-    # resume compatibility with pre-split run dirs
-    pending = fr.filter(F.col("state") == PENDING).drop("state")
+    # resume compatibility with pre-split run dirs.  The explicit
+    # repartition undoes parquet scan-packing: a compact 1.3M-row
+    # frontier file otherwise lands in 1-2 scan partitions and
+    # serializes the whole decision pipeline (measured: same 7.7 s
+    # decide wall at 4 and 16 threads).  On a real cluster the state
+    # tables have many files and this collapses to a cheap rebalance.
+    dp = spark.sparkContext.defaultParallelism
+    pending = (
+        fr.filter(F.col("state") == PENDING).drop("state")
+        .repartition(dp, "url_hash")
+    )
     broadcast_hosts = (
         n_hosts_ub is None or n_hosts_ub <= cfg.broadcast_hosts_threshold
     )
@@ -190,6 +209,9 @@ def _run_round(
         hot_host_threshold=cfg.hot_host_threshold,
         n_salts=cfg.n_salts,
     ).persist()
+    # the corpus-prune key set rides inside the SAME aggregation job
+    # (bounded by the n_buckets x files_per_bucket partition grid), so
+    # the round pays one driver round-trip, not two
     agg = decided.agg(
         F.sum(F.col("blocked").cast("long")).alias("nb"),
         F.sum((~F.col("blocked")).cast("long")).alias("np"),
@@ -198,7 +220,16 @@ def _run_round(
             (F.col("admit") & (F.col("page_type") == "robots")).cast("long")
         ).alias("nr"),
         F.sum((~F.col("host_known")).cast("long")).alias("nu"),
+        F.collect_set(
+            F.when(
+                F.col("admit"),
+                prune_key_expr(cfg.n_page_buckets,
+                               getattr(cfg, "_files_per_bucket", None)),
+            )
+        ).alias("pk"),
     ).collect()[0]
+    prune_keys = list(agg["pk"] or [])
+    _prof(rnd, t0, "decide agg done")
     n_blocked = int(agg["nb"] or 0)
     n_pending_after = int(agg["np"] or 0)
     n_admitted = int(agg["na"] or 0)
@@ -260,6 +291,7 @@ def _run_round(
     ranked = with_global_rank(
         admitted, next_rank, n_admitted, cfg.big_batch_threshold
     ).persist()
+    _prof(rnd, t0, "rank built")
     ledger = ranked.select("rank", F.lit(rnd).alias("round"), "url")
 
     # 4. fetch-join (A13) + 5. one-pass vectorized parse (A15/A5).
@@ -271,9 +303,11 @@ def _run_round(
     # (the link-explode below reads only the two link columns).
     fetched = fetch_join(ranked, pages, cfg.n_page_buckets,
                          batch_rows=n_admitted,
-                         files_per_bucket=getattr(cfg, "_files_per_bucket", None))
+                         files_per_bucket=getattr(cfg, "_files_per_bucket", None),
+                         prune_keys=prune_keys)
     cat.write_round("parsed", parse_fetched(fetched), rnd, DELTA,
                     n_rows=n_admitted)
+    _prof(rnd, t0, "fetch+parse+write done")
     parsed = cat.read_staged("parsed")
 
     # robots results -> host updates effective next round (skipped
@@ -339,13 +373,39 @@ def _run_round(
         .withColumn("host", L.host_expr(F.col("url")))
         .withColumn("url_hash", L.url_hash_expr(F.col("url")))
     )
+    # Pre-merge seen filter: in the steady state MOST child links point
+    # at already-seen urls (navigation/back-links — 35M children vs
+    # ~100k genuinely new on the heavy bench round), and shuffling them
+    # into the min-depth merge just to anti-join them away afterwards
+    # made the link chain parallelism-independent.  While ``seen`` fits
+    # a broadcast, drop seen children map-side BEFORE the merge —
+    # identical semantics (a url's whole merge group is either kept or
+    # dropped; the post-merge exact anti-join remains the authority).
+    # Beyond the broadcast threshold the cuckoo path below takes over
+    # (that is exactly what the partitioned filter blobs are for).
+    seen_rows = cat.rows("seen")
+    if seen is not None and 0 < seen_rows <= cfg.broadcast_seen_threshold:
+        children = children.join(
+            F.broadcast(seen.select("url")), "url", "left_anti"
+        )
     merged = merge_discoveries(children, rnd)
+    if os.environ.get("SPARK_GRAFT_PROF") == "2":  # deep diag: split the chain
+        merged = merged.persist()
+        merged.count()
+        _prof(rnd, t0, "explode+classify+merge materialized")
 
     # 7. seen-set dedupe: cuckoo pre-filter (A8) then exact anti-join (A7);
     # the probe engages once seen is big enough to be worth pre-pruning
-    # (row count is free from the manifest)
-    if cfg.use_cuckoo and cat.rows("seen") >= cfg.cuckoo_min_seen_rows:
-        pre = S.cuckoo_prefilter(merged, blobs, cfg.n_filter_partitions)
+    # (row count is free from the manifest).
+    # ``pre`` and ``new_rows`` are each consumed by MULTIPLE subtrees
+    # (pre: the definite/maybe branches; new_rows: the frontier union +
+    # robots_injection's host-distinct and url anti-join).  Catalyst
+    # does no cross-subtree CSE, so without the persists the whole
+    # explode+classify+merge+probe chain re-executes once per consumer
+    # — measured as ~90 s/round at 16 threads on the 1.32M-URL round.
+    pre = None
+    if cfg.use_cuckoo and seen_rows >= cfg.cuckoo_min_seen_rows:
+        pre = S.cuckoo_prefilter(merged, blobs, cfg.n_filter_partitions).persist()
         definite_new = pre.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = pre.filter(F.col("maybe_seen")).drop("maybe_seen")
         survivors = S.dedupe_exact(maybe, seen)
@@ -353,6 +413,10 @@ def _run_round(
     else:
         new_rows = S.dedupe_exact(merged, seen)
 
+    new_rows = new_rows.persist()
+    if os.environ.get("SPARK_GRAFT_PROF") == "2":
+        new_rows.count()
+        _prof(rnd, t0, "seen-dedupe materialized")
     robots_rows = robots_injection(new_rows, hs, seen, rnd)
     new_frontier = new_rows.unionByName(robots_rows).persist()
     # one job: delta size + exact new-host count (the countDistinct is
@@ -361,6 +425,7 @@ def _run_round(
         F.count("*").alias("n"), F.countDistinct("host").alias("h")
     ).collect()[0]
     n_new = int(nf_agg["n"])
+    _prof(rnd, t0, "links+dedupe+new-frontier done")
     if n_hosts_ub is not None:
         n_hosts_ub = n_hosts_ub + int(nf_agg["h"])  # upper bound: some known
 
@@ -419,10 +484,12 @@ def _run_round(
         elif n_new:
             writes.append(lambda: cat.write_round(
                 "seen_filter",
-                S.build_delta_blobs(new_frontier, cfg.n_filter_partitions, rnd),
+                S.build_delta_blobs(new_frontier, cfg.n_filter_partitions, rnd,
+                                    n_rows=n_new),
                 rnd, DELTA, skip_if_empty=False,
             ))
     _write_all(writes)
+    _prof(rnd, t0, "state writes done")
 
     cat.commit_round(
         rnd,
@@ -433,7 +500,7 @@ def _run_round(
             "n_pending_before": n_pending_after,
         },
     )
-    for df in (decided, ranked, robots_res, new_frontier):
+    for df in (decided, ranked, robots_res, pre, new_rows, new_frontier):
         if df is not None:
             df.unpersist()
     return True, next_rank + n_admitted, n_hosts_ub
