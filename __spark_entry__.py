@@ -114,13 +114,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": X.q_dedup_exact,
         "ngram_jaccard_pairs": X.q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": X.q_minhash_lsh_dedup,
+        "near_dup_keep": X.q_near_dup_keep,
         "simhash": X.q_simhash,
         "cosine_topk": X.q_cosine_topk,
         "ann_lsh_cosine": X.q_ann_lsh_cosine,
+        "ivf_ann_cosine": X.q_ivf_ann_cosine,
         "embedding_neardup": X.q_embedding_neardup,
         "lang_id": X.q_lang_id,
         "quality_score": X.q_quality_score,
         "doc_fingerprint": X.q_doc_fingerprint,
+        "token_count_bpe": X.q_token_count_bpe,
         "multimodal_meta": X.q_multimodal_meta,
         # structured streaming
         "stream_window_counts": X.q_stream_window_counts,
@@ -174,13 +177,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": X.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": X.SQL_NGRAM_JACCARD,
         "minhash_lsh_dedup": X.SQL_MINHASH_LSH,
+        "near_dup_keep": X.SQL_NEAR_DUP_KEEP,
         "simhash": X.SQL_SIMHASH,
         "cosine_topk": X.SQL_COSINE_TOPK,
         # ann_lsh_cosine: approximate by construction -> rows-only
+        "ivf_ann_cosine": X.SQL_IVF_ANN,
         "embedding_neardup": X.SQL_EMBEDDING_NEARDUP,
         "lang_id": X.SQL_LANG_ID,
         "quality_score": X.SQL_QUALITY,
         "doc_fingerprint": X.SQL_FINGERPRINT,
+        "token_count_bpe": X.SQL_TOKEN_COUNT_BPE,
         "multimodal_meta": X.SQL_MULTIMODAL,
         "stream_window_counts": X.SQL_STREAM_WINDOW,
     }

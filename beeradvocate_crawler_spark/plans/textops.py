@@ -252,10 +252,10 @@ SQL_DOCS_WITH_NEAR_COPIES = f"""
 """
 
 
-def q_minhash_lsh_dedup(spark, sf):
-    """MinHash (16 perms) -> 1-row-band LSH bucket join -> exact-Jaccard
-    verify >= 0.8.  Oracle = exact all-pairs Jaccard (the verify stage
-    makes LSH false positives invisible; recall = 1-(1-j)^16 ≈ 1)."""
+def _minhash_verified_pairs(spark, sf) -> tuple[DataFrame, DataFrame]:
+    """(docs, pairs): MinHash LSH candidates -> exact-Jaccard-verified
+    near-dup pairs >= NEAR_DUP_J over the near-copy corpus.  Shared by
+    the pair-listing query and the keep-set decision op."""
     docs = _docs_with_near_copies(spark, sf)
     sh = _shingle_rows(docs)
     mh = _minhash_bands(sh, N_PERMS)
@@ -266,10 +266,38 @@ def q_minhash_lsh_dedup(spark, sf):
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    return _exact_jaccard_of_pairs(cand, sh, NEAR_DUP_J)
+    return docs, _exact_jaccard_of_pairs(cand, sh, NEAR_DUP_J)
+
+
+def q_minhash_lsh_dedup(spark, sf):
+    """MinHash (16 perms) -> 1-row-band LSH bucket join -> exact-Jaccard
+    verify >= 0.8.  Oracle = exact all-pairs Jaccard (the verify stage
+    makes LSH false positives invisible; recall = 1-(1-j)^16 ≈ 1)."""
+    return _minhash_verified_pairs(spark, sf)[1]
 
 
 SQL_MINHASH_LSH = _sql_jaccard_pairs(SQL_DOCS_WITH_NEAR_COPIES, NEAR_DUP_J, same_source=False)
+
+
+def q_near_dup_keep(spark, sf):
+    """Dedup DECISION op: the kept-document set under the lowest-id-wins
+    rule — a doc is dropped iff it near-dup-pairs (exact Jaccard >=
+    0.8 via the LSH pipeline) with a smaller doc_id.  This is the op a
+    training-data pipeline actually runs (pairs are the evidence, the
+    keep set is the output); one-hop rule rather than connected
+    components so it is order-free and exactly SQL-expressible.
+    Scale shape: pairs are LSH-bounded, the keep filter is one
+    left-anti join on doc_id."""
+    docs, pairs = _minhash_verified_pairs(spark, sf)
+    losers = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
+SQL_NEAR_DUP_KEEP = f"""
+SELECT d.doc_id
+FROM {SQL_DOCS_WITH_NEAR_COPIES} d
+WHERE NOT EXISTS (SELECT 1 FROM ( {SQL_MINHASH_LSH} ) p WHERE p.d2 = d.doc_id)
+"""
 
 # --- SimHash fingerprint ----------------------------------------------------------------
 
@@ -402,6 +430,85 @@ def q_ann_lsh_cosine(spark, sf):
         .where(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rnk")
     )
+
+
+def q_ivf_ann_cosine(spark, sf):
+    """IVF-style ANN, fully value-checkable: deterministic coarse
+    centroids (every 100th vec_id — the reproducible stand-in for a
+    k-means codebook, which would be seed/iteration-order dependent
+    across engines), every vector assigned to its nearest centroid by
+    cosine (tie -> lowest centroid id), queries (vec_id < 5) probe ONLY
+    their own cell (nprobe=1) and take top-3 by exact cosine within it.
+
+    Scale shape (the real IVF plan at 100 TB): the centroid table is
+    broadcast (K << corpus), assignment is one codegen'd map pass, the
+    probe is a partition-pruned join on cell id — no all-pairs stage
+    anywhere.  Unlike the hyperplane-LSH variant (rows-only), the cell
+    assignment is exact argmax, so DuckDB reproduces it bit-for-bit
+    and the driver hash-checks the result."""
+    em = ld(spark, sf, "embeddings").select("vec_id", "embedding")
+    emn = em.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    cent = emn.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    ccos = (_dot(F.col("cv"), F.col("embedding")) / (F.col("cn") * F.col("norm"))).alias("ccos")
+    wa = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    asg = (
+        emn.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "norm", "cid", ccos)
+        .withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "norm", "cid")
+    )
+    q = asg.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qn"),
+        "cid",
+    )
+    cos = (_dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("norm"))).alias("cos")
+    cand = (
+        asg.where(F.col("vec_id") >= 5)
+        .join(F.broadcast(q), "cid")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rnk")
+    )
+
+
+SQL_IVF_ANN = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                          (a, x) -> a + x)) AS norm
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv, norm AS cn FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.norm, c.cid,
+         list_reduce(list_transform(cv, (x, i) -> x::DOUBLE * e.embedding[i]::DOUBLE),
+                     (a, x) -> a + x) / (cn * e.norm) AS ccos
+  FROM e CROSS JOIN c),
+asg AS (
+  SELECT vec_id, embedding, norm, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS r
+  FROM scored QUALIFY r = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv, norm AS qn, cid
+      FROM asg WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_reduce(list_transform(qv, (x, i) -> x::DOUBLE * a.embedding[i]::DOUBLE),
+                     (acc, x) -> acc + x) / (qn * a.norm) AS cos
+  FROM asg a JOIN q USING (cid) WHERE a.vec_id >= 5)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+FROM cand QUALIFY rnk <= 3
+"""
 
 
 def q_embedding_neardup(spark, sf):
@@ -554,6 +661,48 @@ WITH t AS (
 SELECT doc_id,
        list_reduce(list_prepend(0::BIGINT, hs), (a, x) -> (a * 31 + x) % {FP_MOD}) AS fingerprint
 FROM t
+"""
+
+# --- token counting (whitespace + BPE-ish pretokenizer) -------------------------------------
+
+# GPT-2-style pretokenizer, restricted to lookahead-free constructs so
+# Java regex (Spark) and RE2 (DuckDB) agree: contraction suffixes
+# first, then optional-space-prefixed letter / digit / punctuation
+# runs, then whitespace runs.  Both engines use leftmost-first
+# alternation, so token boundaries are identical by construction.
+BPE_SPLIT_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def q_token_count_bpe(spark, sf):
+    """Token counting for training-data budgeting: whitespace tokens
+    plus a BPE-ish pretokenizer split (the standard pre-BPE pass), all
+    as built-in regexp expressions — one codegen'd map stage, no UDF,
+    trivially data-parallel at 100 TB."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_REGEX), F.lit(0))
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.filter(bpe, lambda t: t.rlike(r"^ ?[A-Za-z]+$"))).alias("n_word"),
+        F.size(F.filter(bpe, lambda t: t.rlike(r"^ ?[0-9]+$"))).alias("n_num"),
+        F.size(F.filter(bpe, lambda t: t.rlike(r"^'"))).alias("n_contraction"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       len(bpe) AS n_bpe_tokens,
+       len(list_filter(bpe, t -> regexp_full_match(t, ' ?[A-Za-z]+'))) AS n_word,
+       len(list_filter(bpe, t -> regexp_full_match(t, ' ?[0-9]+'))) AS n_num,
+       len(list_filter(bpe, t -> regexp_matches(t, '^'''))) AS n_contraction
+FROM (SELECT doc_id, text,
+             regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')
+               AS bpe
+      FROM documents)
 """
 
 # --- multimodal plumbing (binary columns + stubbed decode) ----------------------------------
