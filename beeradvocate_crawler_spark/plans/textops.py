@@ -107,10 +107,29 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct rows."""
-    return _spread(docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_expr(tokens_expr(F.col("text"))))).alias("s"),
+    """(doc_id, shingle) distinct rows.
+
+    The token array is materialized as its own column BEFORE
+    shingles_expr: the shingle lambda's ``element_at(toks, i+k)``
+    references its argument per array element, and handing it the raw
+    ``tokens_expr`` tree makes the interpreted higher-order path
+    re-run the regex tokenizer once per shingle — O(tokens^2) regex
+    work per doc (measured 7x: 5.9 s -> 0.8 s on sf0.1 shingling).
+
+    ``s`` is the shingle's xxhash64 (a long), not the string: every
+    downstream consumer (32 per-perm band minima, the exact-Jaccard
+    set intersects) does per-element work on it, and 8-byte longs beat
+    ~40-byte strings several-fold there.  Distinct-shingle identity is
+    preserved up to 64-bit collisions (see _exact_jaccard_of_pairs)."""
+    return (
+        _spread(docs)
+        .withColumn("toks", tokens_expr(F.col("text")))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                F.transform(shingles_expr(F.col("toks")), lambda x: F.xxhash64(x))
+            )).alias("s"),
+        )
     )
 
 
@@ -130,14 +149,35 @@ def _minhash_bands(sh: DataFrame, n_perms: int, extra_cols: tuple = ()) -> DataF
     aggs = [
         F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"mh{p}")
         for p in range(n_perms)
-    ]
+    ] + [F.count("*").alias("n_sh")]
     wide = sh.groupBy("doc_id", *extra_cols).agg(*aggs)
     return wide.select(
         "doc_id",
         *extra_cols,
+        "n_sh",
         F.posexplode(
             F.array(*[F.col(f"mh{p}") for p in range(n_perms)])
         ).alias("perm", "mh"),
+    )
+
+
+def _lsh_candidates(bands: DataFrame, threshold: float, keys: list) -> DataFrame:
+    """Distinct (d1, d2) candidate pairs from single-row-band LSH bucket
+    collisions, with the EXACT size prune applied inside the join:
+    J(A,B) >= t requires t·max(|A|,|B|) <= min(|A|,|B|), so mismatched-
+    size bucket collisions (the bulk of template-heavy buckets) never
+    reach the distinct or the verify.  Prune-only — no qualifying pair
+    can fail it — so the result still matches the all-pairs oracle."""
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, keys)
+        .where(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.greatest("x.n_sh", "y.n_sh") * F.lit(threshold)
+               <= F.least("x.n_sh", "y.n_sh"))
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
     )
 
 
@@ -156,34 +196,51 @@ def q_ngram_jaccard_pairs(spark, sf):
     surviving pair's score exact, so false positives are invisible and
     the result matches the all-pairs oracle)."""
     d = ld(spark, sf, "documents").select("doc_id", "source", "text")
-    sh = _spread(d).select(
-        "doc_id", "source",
-        F.explode(F.array_distinct(shingles_expr(tokens_expr(F.col("text"))))).alias("s"),
-    )
-    bands = _minhash_bands(sh, NGRAM_PREFILTER_BANDS, extra_cols=("source",))
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["source", "perm", "mh"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .distinct()
-    )
+    # persist the shared subtrees: Catalyst does no cross-subtree CSE,
+    # so without these the tokenize+shingle chain re-executes once per
+    # consumer (band self-join x/y + the two verify set branches = 5
+    # executions; measured as the whole 27-33 s round-1/2 outlier —
+    # each individual stage is ~2 s)
+    # toks materialized first, shingles pre-hashed to longs — see
+    # _shingle_rows for both rationales
+    sh = (
+        _spread(d)
+        .withColumn("toks", tokens_expr(F.col("text")))
+        .select(
+            "doc_id", "source",
+            F.explode(F.array_distinct(
+                F.transform(shingles_expr(F.col("toks")), lambda x: F.xxhash64(x))
+            )).alias("s"),
+        )
+    ).persist()
+    bands = _minhash_bands(sh, NGRAM_PREFILTER_BANDS, extra_cols=("source",)).persist()
+    cand = _lsh_candidates(bands, 0.5, ["source", "perm", "mh"])
     return _exact_jaccard_of_pairs(cand, sh.select("doc_id", "s"), 0.5)
 
 
 def _exact_jaccard_of_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard verify over candidate (d1, d2) pairs.
 
-    Shape: per-doc sorted shingle-set arrays (one row per doc — tiny
-    next to the pair table; AQE broadcasts it at small SF) joined onto
-    the pairs, intersection counted per-row by ``array_intersect`` in
+    Shape: per-doc shingle-HASH arrays (one row per doc — tiny next to
+    the pair table; AQE broadcasts it at small SF) joined onto the
+    pairs, intersection counted per-row by ``array_intersect`` in
     whole-stage codegen.  This replaces the explode-to-(pair, shingle)
     + re-aggregate verify, whose candidate×shingles row blow-up
     (~31M rows for 606k template-heavy candidates at sf0.1) was the
-    dominant cost.  Exact: arrays are the true distinct shingle sets."""
+    dominant cost.
+
+    The intersect runs over xxhash64(shingle) longs, not the shingle
+    strings: 8-byte comparisons instead of ~40-byte strings cut both
+    the broadcast size and the per-pair intersect cost several-fold.
+    Still exact for the oracle comparison: |hash-set ∩| == |shingle-set
+    ∩| unless two distinct shingles in one candidate pair's union
+    collide in 64 bits (p < 1e-8 over this corpus; any such collision
+    would surface immediately as a driver hash mismatch)."""
+    # persisted: s1 and s2 are two separate join branches over the same
+    # aggregation (no cross-subtree CSE in Catalyst)
     sets = sh.groupBy("doc_id").agg(
         F.collect_list("s").alias("hs"), F.count("*").alias("n_sh")
-    )
+    ).persist()
     s1 = sets.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"),
                      F.col("n_sh").alias("n1"))
     s2 = sets.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"),
@@ -232,14 +289,22 @@ NEAR_DUP_J = 0.8
 def _docs_with_near_copies(spark, sf):
     """documents (>=12 tokens) ∪ truncated copies (last 3 tokens dropped):
     guaranteed near-dup pairs with jaccard ≈ (S-3)/S >= 0.8."""
-    d = ld(spark, sf, "documents").select("doc_id", "text")
-    toks = tokens_expr(F.col("text"))
-    d = d.where(F.size(toks) >= 12)
+    d = (
+        ld(spark, sf, "documents")
+        .select("doc_id", "text")
+        # toks computed once as a column (the filter + two slice/join
+        # references below would each re-run the regex tokenizer), and
+        # spread first so the single-file parquet scan doesn't serialize
+        # the tokenization into one task
+        .transform(_spread)
+        .withColumn("toks", tokens_expr(F.col("text")))
+        .where(F.size("toks") >= 12)
+    )
     trunc = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+        F.array_join(F.slice("toks", 1, F.size("toks") - 3), " ").alias("text"),
     )
-    return d.unionByName(trunc)
+    return d.select("doc_id", "text").unionByName(trunc)
 
 
 SQL_DOCS_WITH_NEAR_COPIES = f"""
@@ -256,17 +321,17 @@ def _minhash_verified_pairs(spark, sf) -> tuple[DataFrame, DataFrame]:
     """(docs, pairs): MinHash LSH candidates -> exact-Jaccard-verified
     near-dup pairs >= NEAR_DUP_J over the near-copy corpus.  Shared by
     the pair-listing query and the keep-set decision op."""
-    docs = _docs_with_near_copies(spark, sf)
-    sh = _shingle_rows(docs)
-    mh = _minhash_bands(sh, N_PERMS)
-    cand = (
-        mh.alias("x")
-        .join(mh.alias("y"), ["perm", "mh"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .distinct()
-    )
-    return docs, _exact_jaccard_of_pairs(cand, sh, NEAR_DUP_J)
+    # persists mirror q_ngram_jaccard_pairs: docs feeds the shingle
+    # chain AND the keep-set consumer; sh feeds bands + verify sets;
+    # mh is self-joined (x/y)
+    docs = _docs_with_near_copies(spark, sf).persist()
+    sh = _shingle_rows(docs).persist()
+    mh = _minhash_bands(sh, N_PERMS).persist()
+    cand = _lsh_candidates(mh, NEAR_DUP_J, ["perm", "mh"])
+    # pairs persisted too: q_near_dup_keep consumes them through a
+    # distinct + anti-join, which would otherwise re-run the whole
+    # cand+verify chain a second time
+    return docs, _exact_jaccard_of_pairs(cand, sh, NEAR_DUP_J).persist()
 
 
 def q_minhash_lsh_dedup(spark, sf):
