@@ -23,6 +23,17 @@ def ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-spread rows across the cluster before CPU-heavy per-row
+    expressions (regex, JSON parse, count-distinct expand).  The
+    small-SF tables are single parquet files -> one scan partition,
+    which serializes the whole map stage into one task; at 100 TB the
+    scan has thousands of splits and this collapses into a cheap
+    rebalance (same rationale as textops._spread)."""
+    sp = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(sp, *keys) if keys else df.repartition(sp)
+
+
 # --- C1/C3: scan + pushdown ----------------------------------------------------
 
 def q_scan_filter_project(spark, sf):
@@ -220,7 +231,7 @@ SQL_CROSS = "SELECT r_name, n_name FROM region CROSS JOIN nation"
 # --- C12: distinct (exact + approx) ---------------------------------------------
 
 def q_distinct_counts(spark, sf):
-    li = ld(spark, sf, "lineitem")
+    li = spread(ld(spark, sf, "lineitem"), "l_orderkey")
     return li.agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -371,7 +382,7 @@ SQL_EXCEPT = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
 # --- C20: string functions ----------------------------------------------------------
 
 def q_string_funcs(spark, sf):
-    d = ld(spark, sf, "documents")
+    d = spread(ld(spark, sf, "documents"), "doc_id")
     return d.select(
         "doc_id",
         F.length("text").alias("n_len"),
@@ -464,7 +475,7 @@ FROM embeddings
 # --- C24: JSON --------------------------------------------------------------------------
 
 def q_json_extract(spark, sf):
-    e = ld(spark, sf, "events")
+    e = spread(ld(spark, sf, "events"), "event_id")
     return (
         e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")

@@ -372,7 +372,7 @@ SIMHASH_BITS = 32
 def q_simhash(spark, sf):
     """32-bit SimHash over distinct tokens (md5-derived bit source —
     value-checked against the DuckDB twin, not rows-only)."""
-    d = ld(spark, sf, "documents")
+    d = _spread(ld(spark, sf, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
     ).withColumn("th", md5h(F.col("tok")))
