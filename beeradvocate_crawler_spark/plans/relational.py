@@ -231,7 +231,10 @@ SQL_CROSS = "SELECT r_name, n_name FROM region CROSS JOIN nation"
 # --- C12: distinct (exact + approx) ---------------------------------------------
 
 def q_distinct_counts(spark, sf):
-    li = spread(ld(spark, sf, "lineitem"), "l_orderkey")
+    # no spread(): countDistinct's partial-agg expand is cheap per row,
+    # and repartitioning lineitem costs more than the serialized scan
+    # saves (measured 0.9 s -> 1.5 s WITH the shuffle at sf0.1)
+    li = ld(spark, sf, "lineitem")
     return li.agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
@@ -382,7 +385,13 @@ SQL_EXCEPT = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
 # --- C20: string functions ----------------------------------------------------------
 
 def q_string_funcs(spark, sf):
-    d = spread(ld(spark, sf, "documents"), "doc_id")
+    # no spread(): these string expressions are cheap relative to the
+    # fat ``text`` column a repartition would shuffle — the serialized
+    # single-file scan finishes 7x faster than the spread plan at
+    # sf0.1 (0.6 s vs 4.2 s).  At 100 TB the scan has thousands of
+    # splits and parallelizes by itself; spread() is reserved for
+    # genuinely CPU-bound maps (shingle hashing in textops).
+    d = ld(spark, sf, "documents")
     return d.select(
         "doc_id",
         F.length("text").alias("n_len"),
