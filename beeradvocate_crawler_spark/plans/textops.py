@@ -464,7 +464,12 @@ FROM scored QUALIFY rnk <= 5
 
 def q_ann_lsh_cosine(spark, sf):
     """Random-hyperplane LSH ANN (scale path): 12 deterministic
-    hyperplanes -> sign-bit bucket -> within-bucket brute force.
+    hyperplanes split into TWO 6-bit hash tables (multi-table LSH) ->
+    bucket join per table -> union of candidates -> within-bucket
+    brute force.  Two coarse tables instead of one fine 12-bit table:
+    recall comes from the union (a neighbor need only collide in ONE
+    table), and the candidate set is non-degenerate even on a small
+    corpus (one 4096-bucket table yields zero collisions at sf0.01).
     Approximate by construction -> rows-only check (no oracle)."""
     import numpy as np
 
@@ -474,21 +479,36 @@ def q_ann_lsh_cosine(spark, sf):
     planes = rng.standard_normal((12, dim))
 
     @F.pandas_udf("long")
-    def bucket_of(emb: pd.Series) -> pd.Series:
+    def sig_of(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy())  # (n, dim) float32
         signs = (m @ planes.T) > 0  # (n, 12)
         return pd.Series((signs * (1 << np.arange(12))).sum(axis=1).astype("int64"))
 
-    b = em.withColumn("bucket", bucket_of("embedding"))
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    bn = b.withColumn("norm", norm)
-    q = bn.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("bucket"),
+    bn = em.withColumn("sig", sig_of("embedding")).withColumn("norm", norm)
+    # table 0 = low 6 sign bits, table 1 = high 6; key = (t, bucket)
+    tabs = F.explode(F.array(
+        F.struct(F.lit(0).alias("t"), (F.col("sig") % 64).alias("bucket")),
+        F.struct(F.lit(1).alias("t"),
+                 (F.col("sig") / 64).cast("long").alias("bucket")),
+    )).alias("tb")
+    bt = bn.select("vec_id", "embedding", "norm", tabs).select(
+        "vec_id", "embedding", "norm",
+        F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
+    )
+    q = bt.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket",
         F.col("embedding").alias("qv"), F.col("norm").alias("qn"),
     )
-    cands = bn.where(F.col("vec_id") >= 5).join(q, "bucket")
+    # broadcast the tiny query side: the corpus side never shuffles
+    # (the 100 TB shape — bucket membership is computed map-side)
+    cands = bt.where(F.col("vec_id") >= 5).join(F.broadcast(q), ["t", "bucket"])
     cos = (_dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("norm"))).alias("cos")
-    scored = cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos)
+    # a pair colliding in both tables scores identically — max() dedupes
+    scored = (
+        cands.select("query_id", F.col("vec_id").alias("neighbor_id"), cos)
+        .groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
