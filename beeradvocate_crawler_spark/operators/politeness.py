@@ -70,6 +70,7 @@ def decide_round(
     broadcast_hosts: bool = True,
     hot_host_threshold: int | None = None,
     n_salts: int = 16,
+    persist_cand: bool = False,
 ) -> DataFrame:
     """A10+A11+A12 fused into ONE host-partitioned pipeline.
 
@@ -148,6 +149,13 @@ def decide_round(
         "tokens_refilled",
         F.least(F.lit(TOKEN_BURST_FACTOR) * refill, F.col("tokens") + refill),
     ).withColumn("quota", F.floor("tokens_refilled").cast("long"))
+    # this subtree is consumed FOUR times (elig_counts' broadcast job +
+    # the three admit branches below); Catalyst does no cross-subtree
+    # CSE, so each consumer would re-scan the frontier and re-run the
+    # joins — a fixed multi-job latency floor on every round.  The
+    # round loop opts in and unpersists via the handle on the result.
+    if persist_cand:
+        cand = cand.persist()
     # per-host eligible count via partial-aggregated groupBy + join
     # back — NOT a host window, which would drag every row of the
     # hot host into one task (the single-host skew is by construction)
@@ -195,7 +203,10 @@ def decide_round(
             _salted_topk(cand.where((F.col("n_elig") > F.col("quota")) & is_hot),
                          n_salts)
         )
-    return out.drop("quota", "robots_done")
+    out = out.drop("quota", "robots_done")
+    # hand the persisted subtree to the caller for unpersist-after-round
+    out._decide_cand = cand if persist_cand else None
+    return out
 
 
 def _salted_topk(hot: DataFrame, n_salts: int) -> DataFrame:

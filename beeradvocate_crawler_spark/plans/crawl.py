@@ -208,7 +208,9 @@ def _run_round(
         broadcast_hosts=broadcast_hosts,
         hot_host_threshold=cfg.hot_host_threshold,
         n_salts=cfg.n_salts,
+        persist_cand=True,
     ).persist()
+    decide_cand = decided._decide_cand
     # the corpus-prune key set rides inside the SAME aggregation job
     # (bounded by the n_buckets x files_per_bucket partition grid), so
     # the round pays one driver round-trip, not two
@@ -266,7 +268,9 @@ def _run_round(
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "drained": True,
                                        "config": asdict(cfg),
                                        "n_hosts_ub": n_hosts_ub})
-        decided.unpersist()
+        for df in (decided, decide_cand):
+            if df is not None:
+                df.unpersist()
         return False, next_rank, n_hosts_ub
 
     if n_admitted == 0:
@@ -284,7 +288,9 @@ def _run_round(
         cat.commit_round(rnd, lineage={"next_rank": next_rank,
                                        "config": asdict(cfg),
                                        "n_hosts_ub": n_hosts_ub})
-        decided.unpersist()
+        for df in (decided, decide_cand):
+            if df is not None:
+                df.unpersist()
         return True, next_rank, n_hosts_ub
 
     # 3. deterministic global order -> ledger (A20)
@@ -500,7 +506,8 @@ def _run_round(
             "n_pending_before": n_pending_after,
         },
     )
-    for df in (decided, ranked, robots_res, pre, new_rows, new_frontier):
+    for df in (decided, decide_cand, ranked, robots_res, pre, new_rows,
+               new_frontier):
         if df is not None:
             df.unpersist()
     return True, next_rank + n_admitted, n_hosts_ub
