@@ -394,11 +394,15 @@ def _run_round(
         children = children.join(
             F.broadcast(seen.select("url")), "url", "left_anti"
         )
-    merged = merge_discoveries(children, rnd)
-    if os.environ.get("SPARK_GRAFT_PROF") == "2":  # deep diag: split the chain
-        merged = merged.persist()
-        merged.count()
-        _prof(rnd, t0, "explode+classify+merge materialized")
+    # Materialize the merge output before the dedupe/union stages: the
+    # count is paid once, downstream consumers read the (small,
+    # post-dedup-filter) cached table, and AQE plans the seen anti-join
+    # and frontier union with the TRUE row count instead of the
+    # explode's wildly pessimistic estimate (measured 167 -> 139 s on
+    # the 101k-URL bench crawl at local[16], identical hashes).
+    merged = merge_discoveries(children, rnd).persist()
+    merged.count()
+    _prof(rnd, t0, "explode+classify+merge materialized")
 
     # 7. seen-set dedupe: cuckoo pre-filter (A8) then exact anti-join (A7);
     # the probe engages once seen is big enough to be worth pre-pruning
@@ -506,8 +510,8 @@ def _run_round(
             "n_pending_before": n_pending_after,
         },
     )
-    for df in (decided, decide_cand, ranked, robots_res, pre, new_rows,
-               new_frontier):
+    for df in (decided, decide_cand, ranked, robots_res, merged, pre,
+               new_rows, new_frontier):
         if df is not None:
             df.unpersist()
     return True, next_rank + n_admitted, n_hosts_ub
