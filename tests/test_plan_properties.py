@@ -1,0 +1,117 @@
+"""Physical-plan property guards (SURVEY.md §2 scale notes).
+
+These tests inspect Catalyst/physical plans WITHOUT executing jobs —
+they are the regression guard for the three plan properties the engine
+promises at 100 TB:
+
+1. **No row-at-a-time Python UDF anywhere** — every Python boundary in
+   every `queries()` entry must be Arrow-vectorized (``ArrowEvalPython``
+   / ``FlatMapGroupsInPandas`` / ``MapInPandas`` / UDTF), never
+   ``BatchEvalPython`` (per-row pickling, 10–100× slower).
+2. **Scan pruning** — filters reach the parquet scan (PushedFilters)
+   and the read schema is pruned to the referenced columns.
+3. **Join-strategy selection** — the tiny-dim join broadcasts; the
+   grid's sort-merge entry actually sort-merges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _physical_simple(df) -> str:
+    # sparkPlan(): before AQE wrapping — stable strings for strategy asserts
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+class TestNoRowAtATimePython:
+    def test_no_batch_eval_python_in_any_query(self, spark):
+        """BatchEvalPython = per-row pickled Python UDF; banned in every
+        registered query plan.  Arrow-vectorized nodes are the allowed
+        Python boundary."""
+        import __spark_entry__ as E
+
+        offenders = {}
+        for name, fn in E.queries().items():
+            if name == "stream_window_counts":
+                # bounded-stream query: plan string is only materialized
+                # per-microbatch; its batch twin is covered by the
+                # streaming differential tests
+                continue
+            plan = _physical_simple(fn(spark, SF_DIR))
+            # BatchEvalPythonUDTF is the (only) physical node for a
+            # Python table function in Spark 4 — a deliberate C29 grid
+            # entry, not a hot-path scalar UDF; don't count it.
+            if "BatchEvalPython" in plan.replace("BatchEvalPythonUDTF", ""):
+                offenders[name] = True
+        assert not offenders, f"row-at-a-time Python UDFs in: {sorted(offenders)}"
+
+    def test_python_boundaries_are_arrow(self, spark):
+        """The queries that DO cross into Python must do it through an
+        Arrow-vectorized operator."""
+        import __spark_entry__ as E
+
+        arrow_nodes = ("ArrowEvalPython", "FlatMapGroupsInPandas",
+                       "MapInPandas", "AggregateInPandas", "BatchEvalPythonUDTF")
+        expected = {
+            "pandas_udf_canonicalize": "ArrowEvalPython",
+            "grouped_map_zscore": "FlatMapGroupsInPandas",
+            "map_in_pandas_tokens": "MapInPandas",
+            "multimodal_meta": "MapInPandas",
+        }
+        for name, node in expected.items():
+            plan = _physical_simple(E.queries()[name](spark, SF_DIR))
+            assert node in plan, f"{name}: expected {node} in plan"
+            assert "BatchEvalPython\n" not in plan
+        # grouped_agg_p95 renders as an ArrowAggregatePython node
+        plan = _physical_simple(E.queries()["grouped_agg_p95"](spark, SF_DIR))
+        assert any(n in plan for n in arrow_nodes) or "ArrowAggregatePython" in plan
+
+
+class TestScanPruning:
+    def test_filter_pushdown_and_column_pruning(self, spark):
+        """C1: the predicate reaches the parquet scan and only the
+        projected columns are read."""
+        import __spark_entry__ as E
+
+        plan = _physical_simple(E.queries()["scan_filter_project"](spark, SF_DIR))
+        scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+        assert scan, "no parquet scan node found"
+        s = scan[0]
+        assert "PushedFilters: [" in s and "IsNotNull" in s or "LessThan" in s, s
+        # ReadSchema must not include wide unused columns (l_comment)
+        assert "l_comment" not in s.split("ReadSchema:")[-1]
+
+    def test_crawl_corpus_scan_prunes_html(self, spark, tmp_path):
+        """The frontier/decide path must never read the html bytes —
+        only the fetch join touches them."""
+        from beeradvocate_crawler_spark.fixtures.gen_site import write_pages_parquet
+
+        pages = str(tmp_path / "pages")
+        write_pages_parquet(spark, "smoke", pages)
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(pages).select("url").where(F.col("url").isNotNull())
+        scan = [ln for ln in _physical_simple(df).splitlines()
+                if "FileScan parquet" in ln]
+        assert scan and "html" not in scan[0].split("ReadSchema:")[-1]
+
+
+class TestJoinStrategy:
+    def test_small_dim_join_broadcasts(self, spark):
+        import __spark_entry__ as E
+
+        plan = _physical_simple(E.queries()["broadcast_nation_region"](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan
+
+    def test_sort_merge_entry_sort_merges(self, spark):
+        import __spark_entry__ as E
+
+        plan = _physical_simple(E.queries()["lineitem_orders_join"](spark, SF_DIR))
+        assert "SortMergeJoin" in plan
