@@ -130,8 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": X.q_multimodal_meta,
         # structured streaming (position 50)
         "stream_window_counts": X.q_stream_window_counts,
-        # beyond-grid extra twin (grid family C16 already green via
-        # window_rank_orders/window_lag; cheapest loss under a cap)
+        # beyond-grid extras (grid families already green above;
+        # cheapest losses under a 50-entry cap)
+        "multimodal_frames": X.q_multimodal_frames,
         "full_outer_join": R.q_full_outer_join,
         # sanctioned rows-only entries (no oracle SQL by design)
         "approx_distinct": R.q_approx_distinct,
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": X.SQL_TOKEN_COUNT_BPE,
         "multimodal_meta": X.SQL_MULTIMODAL,
         "stream_window_counts": X.SQL_STREAM_WINDOW,
+        "multimodal_frames": X.SQL_MULTIMODAL_FRAMES,
     }

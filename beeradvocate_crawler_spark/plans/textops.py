@@ -831,6 +831,50 @@ SELECT doc_id,
 FROM documents
 """
 
+
+FRAME_SAMPLE_EVERY = 4  # keep every 4th frame (video frame-sampling rate)
+
+
+def q_multimodal_frames(spark, sf):
+    """Frame sampling over a video-shaped binary column: the decode
+    stub's per-doc frame count (n_chars % 24 + 1, same formula as
+    q_multimodal_meta) is expanded into one row per SAMPLED frame —
+    every ``FRAME_SAMPLE_EVERY``-th frame index — entirely JVM-side
+    (``sequence`` + ``posexplode``: no shuffle, row count bounded by
+    n_docs * 24 / rate, inherits the scan's partitioning).  Each
+    sampled frame gets a deterministic 60-bit fingerprint (the md5h
+    trick) standing in for a frame-content hash; a real decoder would
+    replace only the fingerprint expression, the expansion plumbing is
+    the part that must scale."""
+    d = ld(spark, sf, "documents").select(
+        "doc_id", (F.col("n_chars") % 24 + 1).cast("int").alias("n_frames")
+    )
+    idx = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_SAMPLE_EVERY)
+    )
+    return (
+        d.select("doc_id", "n_frames", F.explode(idx).alias("frame_idx"))
+        .withColumn(
+            "frame_fp",
+            md5h(F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))),
+        )
+        .select("doc_id", "n_frames", "frame_idx", "frame_fp")
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH meta AS (
+  SELECT doc_id, (n_chars % 24 + 1)::INT AS n_frames FROM documents
+), expanded AS (
+  SELECT doc_id, n_frames,
+         unnest(generate_series(0, n_frames - 1, {FRAME_SAMPLE_EVERY}))::INT AS frame_idx
+  FROM meta
+)
+SELECT doc_id, n_frames, frame_idx,
+       {SQL_MD5H.format(x="doc_id::VARCHAR || ':' || frame_idx::VARCHAR")} AS frame_fp
+FROM expanded
+"""
+
 # --- structured streaming (S1-S5): windowed aggregation over the events stream --------------
 
 def q_stream_window_counts(spark, sf):
