@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beyond-grid extras (grid families already green above;
         # cheapest losses under a 50-entry cap)
         "multimodal_frames": X.q_multimodal_frames,
+        "hash_split": X.q_hash_split,
+        "lang_quota_sample": X.q_lang_quota_sample,
         "full_outer_join": R.q_full_outer_join,
         # sanctioned rows-only entries (no oracle SQL by design)
         "approx_distinct": R.q_approx_distinct,
@@ -201,4 +203,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": X.SQL_MULTIMODAL,
         "stream_window_counts": X.SQL_STREAM_WINDOW,
         "multimodal_frames": X.SQL_MULTIMODAL_FRAMES,
+        "hash_split": X.SQL_HASH_SPLIT,
+        "lang_quota_sample": X.SQL_LANG_QUOTA,
     }

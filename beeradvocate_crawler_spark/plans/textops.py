@@ -875,6 +875,62 @@ SELECT doc_id, n_frames, frame_idx,
 FROM expanded
 """
 
+
+# --- dataset assembly: deterministic splits + mixture quotas ---------------------------------
+
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment: split = f(md5h(doc_id)
+    mod 100) — 80/10/10.  Hash-based (NOT ``df.sample``) so the split
+    is reproducible across engines, runs, cluster sizes, and data
+    re-partitioning — the property a 100-TB training-data pipeline
+    needs so that adding files never reshuffles existing examples
+    between train and eval.  One codegen'd map pass, no shuffle."""
+    d = ld(spark, sf, "documents").select("doc_id")
+    b = F.pmod(md5h(F.col("doc_id").cast("string")), F.lit(100))
+    return d.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (({SQL_MD5H.format(x="doc_id::VARCHAR")}) % 100 + 100) % 100 AS b
+      FROM documents)
+"""
+
+
+LANG_QUOTA_K = 40  # max docs kept per language (mixture cap)
+
+
+def q_lang_quota_sample(spark, sf):
+    """Data mixing: cap each language at ``LANG_QUOTA_K`` documents,
+    keeping the longest (quality proxy), ties by doc_id — the
+    per-source/per-language quota step of corpus assembly.  Per-group
+    top-k via ranking window partitioned by lang; lang is
+    low-cardinality so at 100 TB this is the same skew shape as the
+    per-host politeness top-k and reuses its remedy (quota-gated salted
+    two-phase rank, operators/politeness.py) when one language
+    dominates; the window form here is the exact twin."""
+    d = ld(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= LANG_QUOTA_K)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
+SQL_LANG_QUOTA = f"""
+SELECT lang, doc_id, n_chars, rk
+FROM (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+WHERE rk <= {LANG_QUOTA_K}
+"""
+
 # --- structured streaming (S1-S5): windowed aggregation over the events stream --------------
 
 def q_stream_window_counts(spark, sf):

@@ -26,7 +26,8 @@ SUBSET = [
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
     "near_dup_keep", "ivf_ann_cosine", "token_count_bpe",
     "cosine_topk", "embedding_neardup", "lang_id", "quality_score",
-    "doc_fingerprint", "multimodal_meta", "multimodal_frames", "sessionize",
+    "doc_fingerprint", "multimodal_meta", "multimodal_frames",
+    "hash_split", "lang_quota_sample", "sessionize",
 ]
 
 
