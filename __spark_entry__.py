@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": X.q_multimodal_frames,
         "hash_split": X.q_hash_split,
         "lang_quota_sample": X.q_lang_quota_sample,
+        "decontaminate": X.q_decontaminate,
         "full_outer_join": R.q_full_outer_join,
         # sanctioned rows-only entries (no oracle SQL by design)
         "approx_distinct": R.q_approx_distinct,
@@ -205,4 +206,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": X.SQL_MULTIMODAL_FRAMES,
         "hash_split": X.SQL_HASH_SPLIT,
         "lang_quota_sample": X.SQL_LANG_QUOTA,
+        "decontaminate": X.SQL_DECONTAMINATE,
     }

@@ -931,6 +931,46 @@ FROM (SELECT lang, doc_id, n_chars,
 WHERE rk <= {LANG_QUOTA_K}
 """
 
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with a held-out benchmark set (here the deterministic
+    stand-in doc_id % 97 == 0), reporting the number of DISTINCT
+    benchmark 3-grams each contaminated doc contains.  Scale shape:
+    the benchmark n-gram table is tiny relative to the corpus and is
+    BROADCAST into the probe join, so the corpus-side explode never
+    shuffles — each scan partition joins locally and the per-doc count
+    aggregates with map-side partials.  At 100 TB the benchmark side
+    (a few eval suites) stays broadcast-sized by construction."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode(shingles_expr(tokens_expr(F.col("text")))).alias("g"),
+    ).distinct()
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS_EXPR.format(t='text')} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES_EXPR.format(t='t')}) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT grams.doc_id, count(*)::BIGINT AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE grams.doc_id % 97 != 0
+GROUP BY grams.doc_id
+"""
+
 # --- structured streaming (S1-S5): windowed aggregation over the events stream --------------
 
 def q_stream_window_counts(spark, sf):

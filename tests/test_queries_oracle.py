@@ -27,7 +27,7 @@ SUBSET = [
     "near_dup_keep", "ivf_ann_cosine", "token_count_bpe",
     "cosine_topk", "embedding_neardup", "lang_id", "quality_score",
     "doc_fingerprint", "multimodal_meta", "multimodal_frames",
-    "hash_split", "lang_quota_sample", "sessionize",
+    "hash_split", "lang_quota_sample", "decontaminate", "sessionize",
 ]
 
 
