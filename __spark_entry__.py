@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": X.q_hash_split,
         "lang_quota_sample": X.q_lang_quota_sample,
         "decontaminate": X.q_decontaminate,
+        "repetition_filter": X.q_repetition_filter,
+        "tfidf_top_terms": X.q_tfidf_top_terms,
         "full_outer_join": R.q_full_outer_join,
         # sanctioned rows-only entries (no oracle SQL by design)
         "approx_distinct": R.q_approx_distinct,
@@ -207,4 +209,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": X.SQL_HASH_SPLIT,
         "lang_quota_sample": X.SQL_LANG_QUOTA,
         "decontaminate": X.SQL_DECONTAMINATE,
+        "repetition_filter": X.SQL_REPETITION,
+        "tfidf_top_terms": X.SQL_TFIDF,
     }

@@ -932,6 +932,103 @@ WHERE rk <= {LANG_QUOTA_K}
 """
 
 
+REPETITION_FLAG_FRAC = 0.2  # Gopher-style duplicate-3-gram threshold
+
+
+def q_repetition_filter(spark, sf):
+    """Gopher/MassiveText-style repetition quality rule: fraction of
+    duplicate word 3-grams within each doc (1 − distinct/total), flag
+    docs above ``REPETITION_FLAG_FRAC``.  Entirely array expressions
+    on the already-tokenized column — one codegen'd map pass per doc,
+    no explode, no shuffle (the aggregate-free shape you want when
+    this rule runs inline in a 100-TB ingest scan)."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    sh = shingles_expr(tokens_expr(F.col("text")))
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    dup = F.when(n > 0, F.round(1 - nd / n, 4)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        dup.alias("dup_frac"),
+        (dup > REPETITION_FLAG_FRAC).alias("flagged"),
+    )
+
+
+SQL_REPETITION = f"""
+WITH s AS (
+  SELECT doc_id, {SQL_SHINGLES_EXPR.format(t=SQL_TOKENS_EXPR.format(t='text'))} AS sh
+  FROM documents
+)
+SELECT doc_id,
+       len(sh)::INT AS n_shingles,
+       CASE WHEN len(sh) > 0
+            THEN round(1 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN len(sh) > 0
+             THEN round(1 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
+             ELSE 0.0 END) > {REPETITION_FLAG_FRAC} AS flagged
+FROM s
+"""
+
+
+TFIDF_TOP_K = 5
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-k characteristic terms per doc by TF-IDF.  IDF is
+    integer-quantized (idf_q = (N_docs * 1000) DIV doc_freq) so the
+    score tf * idf_q is exact integer arithmetic — bit-identical
+    across engines, unlike ln()-based idf whose last-ulp differences
+    can flip top-k ties.  Scale shape: one explode + two hash
+    aggregations (term frequencies partial-aggregate map-side); the
+    doc-frequency table joins back BROADCAST when the vocabulary is
+    broadcast-sized (it is here and for most natural-language vocab),
+    else it falls back to a shuffle join on the term key; final top-k
+    is a ranking window partitioned by doc."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    n_docs = d.count()  # scalar, one job; at 100 TB comes from table stats
+    tf = (
+        d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_q = F.floor(F.lit(n_docs * 1000) / F.col("df")).cast("long")
+    scored = tf.join(F.broadcast(df_t.select("term", idf_q.alias("idf_q"))), "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf_q")).desc(), "term"
+    )
+    return (
+        scored.withColumn("score", F.col("tf") * F.col("idf_q"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "score", "rk")
+    )
+
+
+SQL_TFIDF = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({SQL_TOKENS_EXPR.format(t='text')}) AS term
+  FROM documents
+), tfc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tf GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term
+), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT doc_id, term, tf, score, rk FROM (
+  SELECT tfc.doc_id, tfc.term, tfc.tf,
+         tfc.tf * ((n.n_docs * 1000) // dfc.df) AS score,
+         row_number() OVER (
+           PARTITION BY tfc.doc_id
+           ORDER BY tfc.tf * ((n.n_docs * 1000) // dfc.df) DESC, tfc.term
+         ) AS rk
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+)
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag training docs sharing any word
     3-gram with a held-out benchmark set (here the deterministic

@@ -27,7 +27,8 @@ SUBSET = [
     "near_dup_keep", "ivf_ann_cosine", "token_count_bpe",
     "cosine_topk", "embedding_neardup", "lang_id", "quality_score",
     "doc_fingerprint", "multimodal_meta", "multimodal_frames",
-    "hash_split", "lang_quota_sample", "decontaminate", "sessionize",
+    "hash_split", "lang_quota_sample", "decontaminate",
+    "repetition_filter", "tfidf_top_terms", "sessionize",
 ]
 
 
