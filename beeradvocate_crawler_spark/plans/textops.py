@@ -942,16 +942,28 @@ def q_repetition_filter(spark, sf):
     on the already-tokenized column — one codegen'd map pass per doc,
     no explode, no shuffle (the aggregate-free shape you want when
     this rule runs inline in a 100-TB ingest scan)."""
-    d = ld(spark, sf, "documents").select("doc_id", "text")
-    sh = shingles_expr(tokens_expr(F.col("text")))
-    n = F.size(sh)
-    nd = F.size(F.array_distinct(sh))
-    dup = F.when(n > 0, F.round(1 - nd / n, 4)).otherwise(F.lit(0.0))
-    return d.select(
+    # tokens and shingles staged as their own projections: handing the
+    # raw expression trees to downstream references makes the
+    # interpreted higher-order path re-run the tokenizer/shingler per
+    # reference (the O(tokens^2) pitfall documented at _shingled();
+    # measured here 22.9 s -> sub-second at sf0.1)
+    d = ld(spark, sf, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    d = d.select("doc_id", shingles_expr(F.col("toks")).alias("sh"))
+    d = d.select(
         "doc_id",
-        n.alias("n_shingles"),
-        dup.alias("dup_frac"),
-        (dup > REPETITION_FLAG_FRAC).alias("flagged"),
+        F.size("sh").alias("n_shingles"),
+        F.size(F.array_distinct("sh")).alias("nd"),
+    )
+    dup = F.when(
+        F.col("n_shingles") > 0,
+        F.round(1 - F.col("nd") / F.col("n_shingles"), 4),
+    ).otherwise(F.lit(0.0))
+    d = d.select("doc_id", "n_shingles", dup.alias("dup_frac"))
+    return d.select(
+        "doc_id", "n_shingles", "dup_frac",
+        (F.col("dup_frac") > REPETITION_FLAG_FRAC).alias("flagged"),
     )
 
 
@@ -1039,11 +1051,14 @@ def q_decontaminate(spark, sf):
     shuffles — each scan partition joins locally and the per-doc count
     aggregates with map-side partials.  At 100 TB the benchmark side
     (a few eval suites) stays broadcast-sized by construction."""
-    d = ld(spark, sf, "documents").select("doc_id", "text")
+    # tokens staged as their own column first — see q_repetition_filter
+    d = ld(spark, sf, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
     grams = d.select(
         "doc_id",
-        F.explode(shingles_expr(tokens_expr(F.col("text")))).alias("g"),
-    ).distinct()
+        F.explode(F.array_distinct(shingles_expr(F.col("toks")))).alias("g"),
+    )
     bench = (
         grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
     )
