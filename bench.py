@@ -96,7 +96,7 @@ def main() -> int:
         t0 = time.time()
         try:
             force(fn(spark, sf_dir))
-            qtimes[name] = round(time.time() - t0, 3)
+            qtimes[name] = round(time.time() - t0, 2)
         except Exception as e:  # keep the bench line emittable
             qtimes[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:150]}",
@@ -107,23 +107,71 @@ def main() -> int:
         "metric": "urls_scheduled_parsed_per_sec",
         "value": crawl["urls_per_sec"],
         "unit": "sec",
-        "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": crawl,
         "cpus": cpus,
+        "scaling": load_scaling_evidence(),
+        "queries": qtimes,
     }
-    # N -> 4N scaling evidence: bench.py's single-config run can't
-    # measure a two-cluster-size pair, so re-emit the official record
-    # produced by scripts/bench_scaling.py (latest run with
-    # bit-identical outputs AND efficiency >= 0.8; full log + pair
-    # analysis in BENCH/BASELINE.md).
-    official = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH", "scaling_official.json")
-    if os.path.exists(official):
-        with open(official) as f:
-            out["scaling"] = json.load(f)
-    print(json.dumps(out))
+    # The driver records a bounded tail of stdout: the round-2 line
+    # (full-precision timings + verbose scaling block) overflowed it
+    # and parsed as null.  Emit the full record to BENCH/last_run.json
+    # for humans, then print ONE compact line (minimal separators,
+    # 2-decimal timings, scaling summarized) as the machine channel.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")))
     return 0
+
+
+def load_scaling_evidence() -> dict | None:
+    """N->4N scaling evidence for the driver line.
+
+    bench.py's single-config run can't measure a two-cluster-size pair
+    itself; scripts/bench_scaling.py produces the records.  Emit the
+    LATEST run (scaling_last.json) with an explicit pass flag — not
+    only the best-passing record — so a scaling regression is visible
+    in bench output rather than silently carried over (the official
+    record is still referenced for the grader; full log + pair
+    analysis in BENCH/BASELINE.md).
+    """
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+    def read(name):
+        p = os.path.join(bench_dir, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    last = read("scaling_last.json")
+    official = read("scaling_official.json")
+    if last is None and official is None:
+        return None
+    rec = last or official
+    eff = rec.get("efficiency")
+    ok = bool(rec.get("deterministic_across_parallelism")) and (
+        eff is not None and eff >= 0.8)
+    out = {
+        "pair": rec.get("pair"),
+        "efficiency": eff,
+        "pass": ok,
+        "urls_per_sec_N": rec.get("urls_per_sec_N"),
+        "urls_per_sec_4N": rec.get("urls_per_sec_4N"),
+        "order_hash_equal": bool(rec.get("deterministic_across_parallelism")),
+        "source": "scaling_last.json" if last is not None else "scaling_official.json",
+        "ts": rec.get("timestamp_utc"),
+    }
+    if (official is not None and last is not None
+            and official.get("timestamp_utc") != last.get("timestamp_utc")):
+        out["official_efficiency"] = official.get("efficiency")
+        out["stale_official"] = True
+    return out
 
 
 if __name__ == "__main__":
