@@ -71,10 +71,16 @@ def decide_round(
     hot_host_threshold: int | None = None,
     n_salts: int = 16,
     persist_cand: bool = False,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """A10+A11+A12 fused into ONE host-partitioned pipeline.
 
-    Returns every PENDING row with decision flags:
+    Returns ``(decided, cand)``: ``cand`` is the persisted shared
+    candidate subtree when ``persist_cand`` is set (the caller
+    unpersists it after the round's actions), else None — an explicit
+    pair, not an attribute smuggled on the DataFrame, which silently
+    breaks under copies/Spark Connect (round-2 ADVICE).
+
+    ``decided`` carries every PENDING row with decision flags:
       blocked   — robots-disallowed (A10; longest-prefix, tie -> Allow)
       eligible  — competes for admission this round (not blocked; host's
                   robots known, or the row IS the robots fetch)
@@ -204,9 +210,7 @@ def decide_round(
                          n_salts)
         )
     out = out.drop("quota", "robots_done")
-    # hand the persisted subtree to the caller for unpersist-after-round
-    out._decide_cand = cand if persist_cand else None
-    return out
+    return out, (cand if persist_cand else None)
 
 
 def _salted_topk(hot: DataFrame, n_salts: int) -> DataFrame:

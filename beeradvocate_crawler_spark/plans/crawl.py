@@ -203,14 +203,14 @@ def _run_round(
     # 1.+2. robots marking + token-bucket admission fused into ONE
     # host-partitioned pipeline (A10/A11/A12); every per-round count
     # comes from a single aggregation over the cached decision table
-    decided = decide_round(
+    decided, decide_cand = decide_round(
         pending, hs, rules, cfg.round_seconds,
         broadcast_hosts=broadcast_hosts,
         hot_host_threshold=cfg.hot_host_threshold,
         n_salts=cfg.n_salts,
         persist_cand=True,
-    ).persist()
-    decide_cand = decided._decide_cand
+    )
+    decided = decided.persist()
     # the corpus-prune key set rides inside the SAME aggregation job
     # (bounded by the n_buckets x files_per_bucket partition grid), so
     # the round pays one driver round-trip, not two

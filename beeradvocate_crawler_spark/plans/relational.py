@@ -37,16 +37,19 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
 # --- C1/C3: scan + pushdown ----------------------------------------------------
 
 def q_scan_filter_project(spark, sf):
+    # predicate chosen to SELECT rows on the driver's data (min
+    # l_shipdate is 1995-01-02): a 0-row result makes the rows+hash
+    # check vacuous (round-2 VERDICT what's-wrong #6)
     return (
         ld(spark, sf, "lineitem")
-        .where(F.col("l_shipdate") < "1995-01-01")
+        .where(F.col("l_shipdate") < "1996-01-01")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     )
 
 
 SQL_SCAN = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
 """
 
 # --- C11: TPC-H Q1-style hash aggregation --------------------------------------
@@ -78,6 +81,9 @@ GROUP BY l_returnflag, l_linestatus
 # --- C4: shuffled hash equi-join ------------------------------------------------
 
 def q_join_orders_customer(spark, sf):
+    """Inner hash equi-join + agg.  Off the driver grid since round 3 —
+    C4's grid slot is q_full_outer_join (a strict superset: same equi
+    key, plus the outer sides); kept for local/regression use."""
     o = ld(spark, sf, "orders")
     c = ld(spark, sf, "customer")
     return (
@@ -137,31 +143,32 @@ GROUP BY o_orderpriority
 
 # --- C7: semi / anti joins (A7 is an anti-join) ---------------------------------
 
-def q_semi_join(spark, sf):
+def q_semi_anti_join(spark, sf):
+    """C7 semi AND anti in one grid entry (round-3 consolidation so
+    every oracle-bearing family fits the driver's 50-entry window):
+    customers WITH at least one urgent order ('semi') union customers
+    with NONE ('anti').  The urgent filter makes BOTH sides non-empty
+    at every SF — the unfiltered anti-join returned 0 rows and its
+    check was vacuous (round-2 VERDICT what's-wrong #6)."""
     c = ld(spark, sf, "customer")
-    o = ld(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
+    o = ld(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey", "c_acctbal"
     )
-
-
-SQL_SEMI = """
-SELECT c_custkey, c_name FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-"""
-
-
-def q_anti_join(spark, sf):
-    c = ld(spark, sf, "customer")
-    o = ld(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_acctbal"
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey", "c_acctbal"
     )
+    return semi.unionByName(anti)
 
 
-SQL_ANTI = """
-SELECT c_custkey, c_acctbal FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+SQL_SEMI_ANTI = """
+SELECT 'semi' AS side, c_custkey, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'anti' AS side, c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """
 
 # --- C8: range (theta) join -----------------------------------------------------
@@ -259,36 +266,92 @@ def q_approx_distinct(spark, sf):
     )
 
 
-# --- C13: rollup ----------------------------------------------------------------
+# --- C13: rollup / cube / grouping sets (one grid entry) -------------------------
 
-def q_rollup_events(spark, sf):
-    e = ld(spark, sf, "events").withColumn(
-        "day_epoch", F.unix_timestamp(F.date_trunc("day", "ts"))
+def q_grouping_analytics(spark, sf):
+    """C13's three grouping shapes in ONE grid entry (round-3
+    consolidation): ROLLUP (event_type, day_epoch) ∪ CUBE (event_type,
+    weekday) ∪ explicit GROUPING SETS over orders — harmonized to
+    (gset, k1, k2, gid, n, sum_val) so each arm stays hash-checkable.
+    grouping_id() disambiguates aggregation levels in every arm."""
+    e = (
+        ld(spark, sf, "events")
+        .withColumn("day_epoch", F.unix_timestamp(F.date_trunc("day", "ts")))
+        .withColumn("weekday", F.dayofweek("ts").cast("int"))
     )
-    return e.rollup("event_type", "day_epoch").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    aggs = [
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_val"),
+        F.grouping_id().alias("gid"),
+    ]
+    r = e.rollup("event_type", "day_epoch").agg(*aggs).select(
+        F.lit("rollup").alias("gset"),
+        F.col("event_type").alias("k1"),
+        F.col("day_epoch").cast("string").alias("k2"),
+        "gid", "n", "sum_val",
     )
+    c = e.cube("event_type", "weekday").agg(*aggs).select(
+        F.lit("cube").alias("gset"),
+        F.col("event_type").alias("k1"),
+        F.col("weekday").cast("string").alias("k2"),
+        "gid", "n", "sum_val",
+    )
+    o = ld(spark, sf, "orders")
+    g = spark.sql(
+        """
+        SELECT 'gsets' AS gset, o_orderstatus AS k1, o_orderpriority AS k2,
+               grouping_id() AS gid, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_val
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        o=o,
+    )
+    return r.unionByName(c).unionByName(g)
 
 
-SQL_ROLLUP = """
-SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
-       count(*) AS n, round(sum(value), 2) AS sum_value
-FROM events GROUP BY ROLLUP (event_type, day_epoch)
+SQL_GROUPING_ANALYTICS = """
+WITH e AS (
+  SELECT event_type, epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+         (dayofweek(ts) + 1)::INT AS weekday, value
+  FROM events)
+SELECT 'rollup' AS gset, event_type AS k1, day_epoch::VARCHAR AS k2,
+       GROUPING(event_type, day_epoch) AS gid,
+       count(*) AS n, round(sum(value), 2) AS sum_val
+FROM e GROUP BY ROLLUP (event_type, day_epoch)
+UNION ALL
+SELECT 'cube' AS gset, event_type AS k1, weekday::VARCHAR AS k2,
+       GROUPING(event_type, weekday) AS gid,
+       count(*) AS n, round(sum(value), 2) AS sum_val
+FROM e GROUP BY CUBE (event_type, weekday)
+UNION ALL
+SELECT 'gsets' AS gset, o_orderstatus AS k1, o_orderpriority AS k2,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_val
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
-# --- C14: sort-based agg / ordered collect --------------------------------------
+# --- C14 + C21: sort-based agg / ordered collect + date-time buckets --------------
 
 def q_collect_sorted(spark, sf):
+    """C14 ordered collect + C21 date/time in one per-user aggregation
+    (round-3 consolidation — same table, same grouping key)."""
     e = ld(spark, sf, "events")
     return e.groupBy("user_id").agg(
         F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types"),
         F.count("*").alias("n"),
+        F.unix_timestamp(F.min("ts")).alias("first_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        F.countDistinct(F.date_trunc("hour", "ts")).alias("n_active_hours"),
     )
 
 
 SQL_COLLECT = """
 SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
-       count(*) AS n
+       count(*) AS n,
+       floor(epoch(min(ts)))::BIGINT AS first_epoch,
+       floor(epoch(max(ts)))::BIGINT AS last_epoch,
+       count(DISTINCT date_trunc('hour', ts)) AS n_active_hours
 FROM events GROUP BY user_id
 """
 
@@ -313,47 +376,31 @@ FROM orders
 QUALIFY rn <= 3
 """
 
-# --- C16: analytic window (lag) ---------------------------------------------------
+# --- C16 + C17: analytic window (lag) + explicit frame (running sum) ---------------
 
-def q_window_lag(spark, sf):
+def q_window_lag_runsum(spark, sf):
+    """C16 lag + C17 running-sum frame over the SAME per-user window
+    (round-3 consolidation): one sort, two window functions — the
+    token-bucket audit twin."""
     e = ld(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return e.select(
         "user_id",
         "event_id",
         F.round("value", 4).alias("value"),
         F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.sum("value").over(wf), 2).alias("running_total"),
     )
 
 
-SQL_WINDOW_LAG = """
+SQL_WINDOW_LAG_RUNSUM = """
 SELECT user_id, event_id, round(value, 4) AS value,
-       round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value
-FROM events
-"""
-
-# --- C17: window frames (running sum; token-bucket audit twin) --------------------
-
-def q_window_running_sum(spark, sf):
-    o = ld(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-SQL_RUNNING_SUM = """
-SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_value,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-FROM orders
+FROM events
 """
 
 # --- C18: global top-k -------------------------------------------------------------
@@ -375,16 +422,30 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # --- C19: set ops ------------------------------------------------------------------
 
 def q_set_except(spark, sf):
+    # except the FIRST-YEAR orderers only — the unfiltered version was
+    # the same vacuous 0-row shape as q_anti_join (round-2 VERDICT
+    # what's-wrong #6); ~20% of customers survive at every SF
     c = ld(spark, sf, "customer").select("c_custkey")
-    o = ld(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        ld(spark, sf, "orders")
+        .where(F.col("o_orderdate") < "1996-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.exceptAll(o.distinct()).distinct()
 
 
-SQL_EXCEPT = "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+SQL_EXCEPT = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+"""
 
 # --- C20: string functions ----------------------------------------------------------
 
-def q_string_funcs(spark, sf):
+def q_string_hash_funcs(spark, sf):
+    """C20 string + C25 hash functions in one per-doc map pass
+    (round-3 consolidation — same table, same row shape; the
+    engine-internal xxhash64 stays a separate rows-only entry)."""
     # no spread(): these string expressions are cheap relative to the
     # fat ``text`` column a repartition would shuffle — the serialized
     # single-file scan finishes 7x faster than the spread plan at
@@ -399,40 +460,21 @@ def q_string_funcs(spark, sf):
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
         F.size(F.regexp_extract_all("text", F.lit("data"), F.lit(0))).alias("n_data"),
         F.levenshtein(F.substring("text", 1, 8), F.lit("spark sql")).alias("lev"),
+        F.md5(F.substring("text", 1, 32)).alias("head_md5"),
+        F.sha2(F.substring("text", 1, 32), 256).alias("head_sha256"),
     )
 
 
-SQL_STRING = r"""
+SQL_STRING_HASH = r"""
 SELECT doc_id,
        length(text) AS n_len,
        upper(substr(text, 1, 12)) AS head12,
        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
        len(regexp_extract_all(text, 'data')) AS n_data,
-       levenshtein(substr(text, 1, 8), 'spark sql') AS lev
+       levenshtein(substr(text, 1, 8), 'spark sql') AS lev,
+       md5(substr(text, 1, 32)) AS head_md5,
+       sha256(substr(text, 1, 32)) AS head_sha256
 FROM documents
-"""
-
-# --- C21: date/time ------------------------------------------------------------------
-
-def q_datetime_buckets(spark, sf):
-    e = ld(spark, sf, "events")
-    return (
-        e.withColumn("hour_epoch", F.unix_timestamp(F.date_trunc("hour", "ts")))
-        .groupBy("hour_epoch")
-        .agg(
-            F.count("*").alias("n"),
-            F.unix_timestamp(F.min("ts")).alias("first_epoch"),
-            F.unix_timestamp(F.max("ts")).alias("last_epoch"),
-        )
-    )
-
-
-SQL_DATETIME = """
-SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
-       count(*) AS n,
-       floor(epoch(min(ts)))::BIGINT AS first_epoch,
-       floor(epoch(max(ts)))::BIGINT AS last_epoch
-FROM events GROUP BY 1
 """
 
 # --- C22: math -------------------------------------------------------------------------
@@ -506,21 +548,6 @@ FROM events GROUP BY event_type
 """
 
 # --- C25: hash functions ------------------------------------------------------------------
-
-def q_hash_md5(spark, sf):
-    c = ld(spark, sf, "customer")
-    return c.select(
-        "c_custkey",
-        F.md5("c_name").alias("name_md5"),
-        F.sha2("c_name", 256).alias("name_sha256"),
-    )
-
-
-SQL_HASH_MD5 = """
-SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
-FROM customer
-"""
-
 
 def q_hash_xxhash64(spark, sf):
     # DuckDB has no xxhash64 -> rows-only check (E:36-37 weaker gate)
@@ -762,55 +789,6 @@ SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions, count(*) AS n_event
 FROM s GROUP BY user_id
 """
 
-
-# --- C13b: cube / grouping sets (rollup's siblings) ----------------------------
-
-def q_cube_events(spark, sf):
-    """CUBE over (event_type, weekday) with grouping_id so the oracle
-    can distinguish the aggregation levels."""
-    e = ld(spark, sf, "events").withColumn(
-        "weekday", F.dayofweek("ts").cast("int")
-    )
-    return (
-        e.cube("event_type", "weekday")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.grouping_id().alias("gid"),
-        )
-    )
-
-
-SQL_CUBE = """
-WITH e AS (
-  SELECT event_type, (dayofweek(ts) + 1)::INT AS weekday, value FROM events)
-SELECT event_type, weekday, count(*) AS n,
-       round(sum(value), 2) AS sum_value,
-       GROUPING(event_type, weekday) AS gid
-FROM e GROUP BY CUBE (event_type, weekday)
-"""
-
-
-def q_grouping_sets_orders(spark, sf):
-    """Explicit GROUPING SETS: totals by status, by priority, overall."""
-    o = ld(spark, sf, "orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS sum_price
-        FROM {o}
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """,
-        o=o,
-    )
-
-
-SQL_GROUPING_SETS = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-"""
 
 # --- C4b: full outer join + null-safe equality ---------------------------------
 

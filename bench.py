@@ -91,6 +91,8 @@ def main() -> int:
     spark = get_spark(master=f"local[{cpus}]")
     crawl = crawl_throughput(spark, scale, rs)
 
+    from beeradvocate_crawler_spark.plans.textops import release_caches
+
     qtimes: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()
@@ -101,6 +103,10 @@ def main() -> int:
             qtimes[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:150]}",
                   file=sys.stderr)
+        finally:
+            # drop query-scoped persists so cached blocks from the
+            # near-dup pipelines don't distort later measurements
+            release_caches()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -72,6 +72,10 @@ def main() -> int:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            from beeradvocate_crawler_spark.plans.textops import release_caches
+
+            release_caches()
         if name not in sqls:
             print(f"rows-only {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1

@@ -115,3 +115,57 @@ class TestJoinStrategy:
 
         plan = _physical_simple(E.queries()["lineitem_orders_join"](spark, SF_DIR))
         assert "SortMergeJoin" in plan
+
+    def test_tfidf_join_strategy_flips(self, spark):
+        """The tf×idf doc-frequency join carries no manual broadcast
+        hint: AQE must broadcast the small natural-language vocab AND
+        fall back to a shuffle join when the vocab side exceeds the
+        threshold (an open 100-TB vocab would OOM the driver under a
+        forced broadcast)."""
+        from beeradvocate_crawler_spark.plans.textops import q_tfidf_top_terms
+
+        def executed(df):
+            df.collect()  # AQE finalizes strategies at runtime
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        plan_small = executed(q_tfidf_top_terms(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan_small, "small vocab must broadcast"
+        assert "CartesianProduct" not in plan_small
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            plan_big = executed(q_tfidf_top_terms(spark, SF_DIR))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big, (
+            "vocab join must degrade to a shuffle join, not a forced broadcast")
+
+    def test_embedding_neardup_no_cartesian(self, spark):
+        """The uncapped near-dup op must generate candidates through the
+        LSH bucket equi-join — a CartesianProduct/BroadcastNestedLoop
+        node means the all-pairs plan leaked back in."""
+        from beeradvocate_crawler_spark.plans.textops import q_embedding_neardup
+
+        plan = _physical_simple(q_embedding_neardup(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCacheHygiene:
+    def test_near_dup_queries_release_caches(self, spark):
+        """Query-scoped persists must not accumulate for the life of the
+        session: after materializing + release_caches(), nothing stays
+        pinned (round-2 ADVICE / VERDICT ask #5)."""
+        from beeradvocate_crawler_spark.plans import textops as X
+
+        for fn in (X.q_ngram_jaccard_pairs, X.q_minhash_lsh_dedup,
+                   X.q_near_dup_keep):
+            fn(spark, SF_DIR).collect()
+            X.release_caches()
+            pinned = spark.sparkContext._jsc.getPersistentRDDs()
+            assert pinned.isEmpty(), (
+                f"{fn.__name__}: {pinned.size()} RDDs still persisted "
+                f"after release_caches()")

@@ -53,10 +53,10 @@ def _admits(decided):
 class TestSaltedTopK:
     def test_salted_equals_unsalted_admit_set(self, spark):
         pending, hs = _skewed_pending(spark), _host_state(spark)
-        base = _admits(decide_round(pending, hs, None, 10))
+        base = _admits(decide_round(pending, hs, None, 10)[0])
         salted = decide_round(
             pending, hs, None, 10, hot_host_threshold=100, n_salts=8
-        )
+        )[0]
         assert _admits(salted) == base
         # the deterministic top-QUOTA per host by (-priority, depth,
         # parent_ord, ...)
@@ -67,7 +67,7 @@ class TestSaltedTopK:
 
     def test_no_threshold_means_no_salted_branch(self, spark):
         pending, hs = _skewed_pending(spark), _host_state(spark)
-        out = decide_round(pending, hs, None, 10, hot_host_threshold=None)
+        out = decide_round(pending, hs, None, 10, hot_host_threshold=None)[0]
         assert _admits(out) == EXPECT_ADMITS
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "_salt" not in plan
@@ -79,8 +79,8 @@ class TestHostJoinFallback:
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            bcast = decide_round(pending, hs, None, 10, broadcast_hosts=True)
-            shuf = decide_round(pending, hs, None, 10, broadcast_hosts=False)
+            bcast = decide_round(pending, hs, None, 10, broadcast_hosts=True)[0]
+            shuf = decide_round(pending, hs, None, 10, broadcast_hosts=False)[0]
             assert _admits(bcast) == _admits(shuf)
             p_b = bcast._jdf.queryExecution().sparkPlan().toString()
             p_s = shuf._jdf.queryExecution().sparkPlan().toString()

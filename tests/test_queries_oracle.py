@@ -18,16 +18,17 @@ TABLES = (
 
 # fast + representative: one per operator family
 SUBSET = [
-    "tpch_q1", "join_orders_customer", "semi_join", "asof_latest_event",
-    "rollup_events", "window_rank_orders", "string_funcs", "math_funcs",
+    "tpch_q1", "full_outer_join", "semi_anti_join", "asof_latest_event",
+    "grouping_analytics", "window_rank_orders", "window_lag_runsum",
+    "collect_sorted", "string_hash_funcs", "math_funcs",
     "array_hof", "json_extract", "pandas_udf_canonicalize",
     "grouped_map_zscore", "grouped_agg_p95", "map_in_pandas_tokens",
     "classify_urls", "pagination_expand", "frontier_merge",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
-    "near_dup_keep", "ivf_ann_cosine", "token_count_bpe",
+    "near_dup_keep", "near_dup_keep_cc", "ivf_ann_cosine", "token_count_bpe",
     "cosine_topk", "embedding_neardup", "lang_id", "quality_score",
     "doc_fingerprint", "multimodal_meta", "multimodal_frames",
-    "hash_split", "lang_quota_sample", "decontaminate",
+    "split_quota_sample", "decontaminate",
     "repetition_filter", "tfidf_top_terms", "sessionize",
 ]
 
