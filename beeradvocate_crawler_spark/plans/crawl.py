@@ -24,7 +24,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import asdict
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,47 @@ from ..sources.catalog import DELTA, REPLACE, SnapshotCatalog
 from ..sources.corpus import read_corpus_meta
 
 RULES_JSON_SCHEMA = "rules array<struct<ord: int, allow: boolean, prefix: string>>"
+
+
+@dataclass
+class _Carry:
+    """Round-r state handed to round r+1 so r's writes+commit can run
+    in the BACKGROUND while r+1 computes (the pipelined-commit attack
+    on the per-round serial floor — round-2 VERDICT ask #8).
+
+    Only the tables round r+1 needs BEFORE the commit barrier travel in
+    memory: the pending frontier and host_state (consumed by decide)
+    plus the robots rules (a round that CHANGES rules commits
+    synchronously and drops the carry, so a carried ``rules`` is always
+    the committed one).  ``seen``/``seen_filter`` are re-read from the
+    catalog after the barrier — no cross-round in-memory lineage chains.
+    Exact-resume is untouched: the barrier sits before round r+1's
+    first staged write, commits stay ordered and all-or-nothing, and a
+    failed background write surfaces at the barrier before any r+1
+    state is staged."""
+
+    frontier: "DataFrame"            # localCheckpoint'd pending rows
+    host_state: "DataFrame"          # localCheckpoint'd
+    rules: "DataFrame | None"        # committed rules (never in-memory-new)
+    commit: Future                   # round r's writes + commit + cleanup
+
+
+def _join_commit(carry: "_Carry | None") -> None:
+    if carry is not None:
+        carry.commit.result()
+
+
+def _carry_dfs(carry: "_Carry | None") -> list:
+    return [] if carry is None else [carry.frontier, carry.host_state]
+
+
+def _unpersist_all(dfs) -> None:
+    for df in dfs:
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session teardown races are benign here
 
 
 def _read_pages(spark: SparkSession, pages_path: str, cache: bool) -> DataFrame:
@@ -152,18 +194,36 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     n_hosts_ub = m.lineage.get("n_hosts_ub")
     rnd = m.round
     rounds_done = 0
-    while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
-        rnd += 1
-        t0 = time.time()
-        progressed, next_rank, n_hosts_ub = _run_round(
-            spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0
-        )
-        _prof(rnd, t0, "round end")
-        rounds_done += 1
-        if not progressed:
-            break
-    if cfg.cache_pages:
-        pages.unpersist()
+    carry: _Carry | None = None
+    ex = ThreadPoolExecutor(max_workers=1)  # ordered background commits
+    try:
+        while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
+            rnd += 1
+            t0 = time.time()
+            progressed, next_rank, n_hosts_ub, carry = _run_round(
+                spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex
+            )
+            _prof(rnd, t0, "round end")
+            rounds_done += 1
+            if not progressed:
+                break
+        # drain the last pending commit (e.g. max_rounds cap hit) so the
+        # returned catalog reflects every completed round; a background
+        # write failure must PROPAGATE here, not be swallowed
+        if carry is not None:
+            carry.commit.result()
+            _unpersist_all(_carry_dfs(carry))
+            carry = None
+    finally:
+        if carry is not None:  # exception path: best-effort drain only
+            try:
+                carry.commit.result()
+            except Exception:
+                pass  # the original in-round exception is the signal
+            _unpersist_all(_carry_dfs(carry))
+        ex.shutdown(wait=True)
+        if cfg.cache_pages:
+            pages.unpersist()
     return cat
 
 
@@ -176,27 +236,35 @@ def _prof(rnd, t0, label):
 
 
 def _run_round(
-    spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0
-) -> tuple[bool, int, int | None]:
-    fr = cat.read("frontier")
-    hs = cat.read("host_state")
-    rules = cat.read("robots_rules")
-    seen = cat.read("seen")
-    blobs = cat.read("seen_filter") if cfg.use_cuckoo else None
-
-    # the frontier table holds ONLY pending rows (terminal rows go to
-    # the append-only frontier_log) — the filter is a no-op kept for
-    # resume compatibility with pre-split run dirs.  The explicit
-    # repartition undoes parquet scan-packing: a compact 1.3M-row
-    # frontier file otherwise lands in 1-2 scan partitions and
-    # serializes the whole decision pipeline (measured: same 7.7 s
-    # decide wall at 4 and 16 threads).  On a real cluster the state
-    # tables have many files and this collapses to a cheap rebalance.
-    dp = spark.sparkContext.defaultParallelism
-    pending = (
-        fr.filter(F.col("state") == PENDING).drop("state")
-        .repartition(dp, "url_hash")
-    )
+    spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex
+) -> tuple[bool, int, int | None, "_Carry | None"]:
+    if carry is not None:
+        # pipelined round: decide consumes the previous round's
+        # persisted in-memory state while its writes+commit run in the
+        # background; already pending-only (the filter is a schema-
+        # preserving no-op) and spread (union of the decide
+        # repartition's and the merge shuffle's partitions)
+        pending = carry.frontier.filter(F.col("state") == PENDING).drop("state")
+        hs = carry.host_state
+        rules = carry.rules
+    else:
+        fr = cat.read("frontier")
+        hs = cat.read("host_state")
+        rules = cat.read("robots_rules")
+        # the frontier table holds ONLY pending rows (terminal rows go
+        # to the append-only frontier_log) — the filter is a no-op kept
+        # for resume compatibility with pre-split run dirs.  The
+        # explicit repartition undoes parquet scan-packing: a compact
+        # 1.3M-row frontier file otherwise lands in 1-2 scan partitions
+        # and serializes the whole decision pipeline (measured: same
+        # 7.7 s decide wall at 4 and 16 threads).  On a real cluster
+        # the state tables have many files and this collapses to a
+        # cheap rebalance.
+        dp = spark.sparkContext.defaultParallelism
+        pending = (
+            fr.filter(F.col("state") == PENDING).drop("state")
+            .repartition(dp, "url_hash")
+        )
     broadcast_hosts = (
         n_hosts_ub is None or n_hosts_ub <= cfg.broadcast_hosts_threshold
     )
@@ -262,20 +330,20 @@ def _run_round(
 
     if n_pending_after == 0:
         # drained: flush final terminal marks, empty the pending set, stop
+        _join_commit(carry)  # staging is shared state: barrier first
         cat.write_round("frontier", leftover, rnd, REPLACE,
                         skip_if_empty=False, n_rows=0)
         cat.write_round("frontier_log", terminal, rnd, DELTA, n_rows=n_blocked)
         cat.commit_round(rnd, lineage={"next_rank": next_rank, "drained": True,
                                        "config": asdict(cfg),
                                        "n_hosts_ub": n_hosts_ub})
-        for df in (decided, decide_cand):
-            if df is not None:
-                df.unpersist()
-        return False, next_rank, n_hosts_ub
+        _unpersist_all([decided, decide_cand, *_carry_dfs(carry)])
+        return False, next_rank, n_hosts_ub, None
 
     if n_admitted == 0:
         # token starvation round: only terminal marks + refill bookkeeping
         hs2 = _apply_host_updates(hs, host_updates, None, None)
+        _join_commit(carry)
         _write_all([
             lambda: cat.write_round("frontier", leftover, rnd, REPLACE,
                                     skip_if_empty=False,
@@ -288,10 +356,8 @@ def _run_round(
         cat.commit_round(rnd, lineage={"next_rank": next_rank,
                                        "config": asdict(cfg),
                                        "n_hosts_ub": n_hosts_ub})
-        for df in (decided, decide_cand):
-            if df is not None:
-                df.unpersist()
-        return True, next_rank, n_hosts_ub
+        _unpersist_all([decided, decide_cand, *_carry_dfs(carry)])
+        return True, next_rank, n_hosts_ub, None
 
     # 3. deterministic global order -> ledger (A20)
     ranked = with_global_rank(
@@ -311,14 +377,29 @@ def _run_round(
                          batch_rows=n_admitted,
                          files_per_bucket=getattr(cfg, "_files_per_bucket", None),
                          prune_keys=prune_keys)
+    # COMMIT BARRIER: the previous round's background writes+commit must
+    # land before this round stages anything (staging is shared catalog
+    # state, manifests must stay ordered).  Decide/agg above overlapped
+    # with those writes — that overlap is the pipelined-commit win.
+    # (carry DFs are NOT unpersisted here: a localCheckpoint'd RDD has
+    # no lineage to recompute from, so its blocks must outlive every
+    # possible consumer — they retire in the NEXT background commit.)
+    _join_commit(carry)
+    _prof(rnd, t0, "prev commit joined")
     cat.write_round("parsed", parse_fetched(fetched), rnd, DELTA,
                     n_rows=n_admitted)
     _prof(rnd, t0, "fetch+parse+write done")
     parsed = cat.read_staged("parsed")
+    # seen/seen_filter are read AFTER the barrier so their path lists
+    # include the previous round's committed deltas — the carry never
+    # holds cross-round in-memory lineage for the append-only tables
+    seen = cat.read("seen")
+    blobs = cat.read("seen_filter") if cfg.use_cuckoo else None
 
     # robots results -> host updates effective next round (skipped
     # entirely in robots-free rounds — the common case)
     robots_res = None
+    rules_changed = False
     if n_robots:
         robots_res = (
             ranked.filter(F.col("page_type") == "robots")
@@ -343,6 +424,7 @@ def _run_round(
             rules2 = new_rules if rules is None else rules.unionByName(new_rules)
             cat.write_round("robots_rules", rules2, rnd, REPLACE,
                             skip_if_empty=False)
+            rules_changed = True
 
     # 6. link discovery (A5 output + A16 pagination) -> children rows
     html_links = parsed.select(
@@ -498,23 +580,51 @@ def _run_round(
                                     n_rows=n_new),
                 rnd, DELTA, skip_if_empty=False,
             ))
-    _write_all(writes)
-    _prof(rnd, t0, "state writes done")
+    lineage = {"next_rank": next_rank + n_admitted, "config": asdict(cfg),
+               "n_hosts_ub": n_hosts_ub}
+    metrics = {
+        "n_admitted": n_admitted, "n_new": n_new, "n_blocked": n_blocked,
+        "n_pending_before": n_pending_after,
+    }
+    intermediates = [decided, decide_cand, ranked, robots_res, merged, pre,
+                     new_rows, new_frontier]
 
-    cat.commit_round(
-        rnd,
-        lineage={"next_rank": next_rank + n_admitted, "config": asdict(cfg),
-                 "n_hosts_ub": n_hosts_ub},
-        metrics={
-            "n_admitted": n_admitted, "n_new": n_new, "n_blocked": n_blocked,
-            "n_pending_before": n_pending_after,
-        },
+    if rules_changed:
+        # a rules update must be committed before the next round's
+        # decide consumes it — no carry, synchronous commit (robots
+        # rounds are the first few only; losing their overlap is noise)
+        _write_all(writes)
+        _prof(rnd, t0, "state writes done")
+        cat.commit_round(rnd, lineage=lineage, metrics=metrics)
+        _unpersist_all(intermediates + _carry_dfs(carry))
+        return True, next_rank + n_admitted, n_hosts_ub, None
+
+    # pipelined commit: localCheckpoint the next round's decide inputs
+    # (cuts the cross-round lineage — WITHOUT this the logical plan
+    # nests one full round deeper every round and the driver melts down
+    # rendering/optimizing it), run the state writes + commit +
+    # intermediate unpersists in the background, and hand the in-memory
+    # state forward.  Lazy checkpoint: whichever touches it first (the
+    # background frontier write or the next round's decide) pays the
+    # one materialization; intermediates stay cached until the writes
+    # complete.  The previous carry's blocks retire here too — only
+    # after this round's writes, because checkpointed blocks cannot be
+    # recomputed once dropped.
+    pending_next = pending_next.localCheckpoint(eager=False)
+    hs2 = hs2.localCheckpoint(eager=False)
+    retiring = intermediates + _carry_dfs(carry)
+
+    def _commit_bg():
+        _write_all(writes)
+        _prof(rnd, t0, "state writes done (bg)")
+        cat.commit_round(rnd, lineage=lineage, metrics=metrics)
+        _unpersist_all(retiring)
+
+    fut = ex.submit(_commit_bg)
+    _prof(rnd, t0, "commit submitted (bg)")
+    return True, next_rank + n_admitted, n_hosts_ub, _Carry(
+        frontier=pending_next, host_state=hs2, rules=rules, commit=fut
     )
-    for df in (decided, decide_cand, ranked, robots_res, merged, pre,
-               new_rows, new_frontier):
-        if df is not None:
-            df.unpersist()
-    return True, next_rank + n_admitted, n_hosts_ub
 
 
 def _write_all(writes):
