@@ -64,6 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from beeradvocate_crawler_spark.plans import graph as G
     from beeradvocate_crawler_spark.plans import relational as R
     from beeradvocate_crawler_spark.plans import textops as X
 
@@ -116,8 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keep": X.q_near_dup_keep,
         "near_dup_keep_cc": X.q_near_dup_keep_cc,
         "simhash": X.q_simhash,
-        "cosine_topk": X.q_cosine_topk,
-        "ivf_ann_cosine": X.q_ivf_ann_cosine,
+        # D6+D8 folded into one signed slot (freed slot -> pagerank)
+        "ann_exact_ivf": X.q_ann_exact_ivf,
+        "pagerank_links": G.q_pagerank_links,
         "embedding_neardup": X.q_embedding_neardup,
         "lang_id": X.q_lang_id,
         "quality_score": X.q_quality_score,
@@ -141,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from beeradvocate_crawler_spark.plans import graph as G
     from beeradvocate_crawler_spark.plans import relational as R
     from beeradvocate_crawler_spark.plans import textops as X
 
@@ -183,10 +186,10 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_keep": X.SQL_NEAR_DUP_KEEP,
         "near_dup_keep_cc": X.SQL_NEAR_DUP_KEEP_CC,
         "simhash": X.SQL_SIMHASH,
-        "cosine_topk": X.SQL_COSINE_TOPK,
         # ann_lsh_cosine / ann_ivf_trained: approximate/float-trained by
         # construction -> rows-only
-        "ivf_ann_cosine": X.SQL_IVF_ANN,
+        "ann_exact_ivf": X.SQL_ANN_EXACT_IVF,
+        "pagerank_links": G.SQL_PAGERANK,
         "embedding_neardup": X.SQL_EMBEDDING_NEARDUP,
         "lang_id": X.SQL_LANG_ID,
         "quality_score": X.SQL_QUALITY,

@@ -716,6 +716,24 @@ FROM cand QUALIFY rnk <= 3
 """
 
 
+def q_ann_exact_ivf(spark, sf):
+    """D6+D8 in one signed grid slot (round-3 consolidation — the
+    driver hash-checks at most 50 entries): the exact brute-force top-5
+    and the IVF nprobe=1 top-3 for the same query set, union-tagged by
+    method.  Both component plans are unchanged (see q_cosine_topk /
+    q_ivf_ann_cosine for the scale notes)."""
+    ex = q_cosine_topk(spark, sf).select(F.lit("exact").alias("method"), "*")
+    iv = q_ivf_ann_cosine(spark, sf).select(F.lit("ivf").alias("method"), "*")
+    return ex.unionByName(iv)
+
+
+SQL_ANN_EXACT_IVF = f"""
+SELECT 'exact' AS method, * FROM ({SQL_COSINE_TOPK})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({SQL_IVF_ANN})
+"""
+
+
 def _sign_lsh_tables(df: DataFrame, n_tables: int, bits: int) -> DataFrame:
     """Explode each vector into (t, bucket) rows: ``n_tables``
     hash tables of ``bits`` random-hyperplane sign bits each

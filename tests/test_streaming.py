@@ -100,6 +100,28 @@ def test_session_window_matches_batch(spark, pages_path):
     assert got, "expected at least one session"
 
 
+def test_crawl_stream_matches_oracle(spark, smoke_site, pages_path):
+    """End-to-end crawl AS a streaming job (foreachBatch drives one
+    round per micro-batch, snapshot catalog = state store): the final
+    catalog must match the sequential oracle exactly — crawl order,
+    seen set, byte-identical parsed text — i.e. streaming execution is
+    indistinguishable from plans.run()."""
+    from beeradvocate_crawler_spark.config import CrawlConfig
+    from beeradvocate_crawler_spark.fixtures import site_model as sm
+    from beeradvocate_crawler_spark.testing import compare
+
+    _, corpus, ores = smoke_site
+    tmp = tempfile.mkdtemp(prefix="ba_crawl_stream_")
+    run_dir = f"{tmp}/run"
+    cat = S.crawl_stream(
+        spark, pages_path, sm.SEED_URLS, run_dir, CrawlConfig(round_seconds=16)
+    )
+    assert cat.latest().lineage.get("drained")
+    errs = compare(spark, run_dir, ores, corpus)
+    assert not errs, "\n".join(errs)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_foreach_batch_checkpoint_exactly_once(spark, pages_path):
     """S5: foreachBatch + checkpointLocation — the full corpus lands in
     the sink exactly once, and a restart over the same checkpoint
