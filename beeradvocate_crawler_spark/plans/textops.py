@@ -409,16 +409,30 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
     is a normal distributed pass; sweeps needed = graph diameter (near-
     dup clusters are shallow — duplicates of a common source).  Raises
     if ``max_iter`` sweeps don't converge rather than returning a
-    wrong label silently."""
+    wrong label silently.
+
+    Every per-sweep table is EAGERLY localCheckpoint'd, not persisted:
+    sweep r's plan nests sweep r-1's (plus the whole upstream pair
+    pipeline via the edge list), so without the lineage cut the logical
+    plan — and Catalyst's analysis time — grows exponentially with
+    sweep count (measured at sf0.1: sweeps 3.9 s → 48 s by sweep 3;
+    flat ~1 s after the cut).  Same failure mode, same fix as the crawl
+    loop's cross-round carry (plans/crawl.py).  The checkpointed frames
+    are registered as query-scoped caches so release_caches() drops the
+    last references after the caller materializes the result; the
+    RDD-level checkpoint blocks themselves (KBs here) retire via the
+    ContextCleaner once unreferenced — DataFrame.unpersist() can't
+    reach them, exactly like the crawl carry's blocks."""
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
+    _SCOPED_CACHES.append(both)
     labels = (
         both.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
+    _SCOPED_CACHES.append(labels)
     for _ in range(max_iter):
         nbr_min = (
             both.join(labels, both.src == labels.node)
@@ -431,20 +445,18 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes AND cuts lineage
         )
+        _SCOPED_CACHES.append(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
-            _SCOPED_CACHES.append(labels)  # released with the query's caches
             return labels
-    labels.unpersist()
     raise RuntimeError(f"connected components did not converge in {max_iter} sweeps")
 
 
