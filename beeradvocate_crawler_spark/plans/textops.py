@@ -40,6 +40,7 @@ from .relational import ld
 # life of a 50+-query sweep (round-2 ADVICE).
 
 _SCOPED_CACHES: list[DataFrame] = []
+_SCOPED_CP_RDDS: list = []  # JavaRDD handles of query-scoped localCheckpoints
 
 
 def release_caches() -> None:
@@ -50,12 +51,36 @@ def release_caches() -> None:
             _SCOPED_CACHES.pop().unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+    while _SCOPED_CP_RDDS:
+        try:
+            _SCOPED_CP_RDDS.pop().unpersist(False)
+        except Exception:
+            pass
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
     df.persist()
     _SCOPED_CACHES.append(df)
     return df
+
+
+def _scoped_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint whose blocks release_caches() CAN drop:
+    checkpoint blocks are RDD-level persistence, invisible to
+    DataFrame.unpersist(), so the new JavaRDD handle is captured by
+    diffing getPersistentRDDs around the checkpoint (query execution is
+    single-threaded in every harness flow, so the diff is exactly this
+    checkpoint's RDD).  Release only after the result is materialized —
+    a checkpointed RDD has no lineage to recompute from."""
+    sc = df.sparkSession.sparkContext
+    jmap_before = sc._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap_before.keySet().toArray()}
+    out = df.localCheckpoint()
+    jmap_after = sc._jsc.getPersistentRDDs()
+    for k in jmap_after.keySet().toArray():
+        if int(k) not in before:
+            _SCOPED_CP_RDDS.append(jmap_after.get(k))
+    return out
 
 
 # --- shared hash/token/shingle builders (Spark side) ---------------------------
@@ -417,22 +442,18 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
     plan — and Catalyst's analysis time — grows exponentially with
     sweep count (measured at sf0.1: sweeps 3.9 s → 48 s by sweep 3;
     flat ~1 s after the cut).  Same failure mode, same fix as the crawl
-    loop's cross-round carry (plans/crawl.py).  The checkpointed frames
-    are registered as query-scoped caches so release_caches() drops the
-    last references after the caller materializes the result; the
-    RDD-level checkpoint blocks themselves (KBs here) retire via the
-    ContextCleaner once unreferenced — DataFrame.unpersist() can't
-    reach them, exactly like the crawl carry's blocks."""
-    both = edges.unionByName(
+    loop's cross-round carry (plans/crawl.py).  Checkpoint blocks are
+    RDD-level persistence DataFrame.unpersist() can't reach, so each
+    one's JavaRDD handle is captured (_scoped_local_checkpoint) and
+    release_caches() unpersists them explicitly after the caller
+    materializes the result (asserted by the cache-hygiene test)."""
+    both = _scoped_local_checkpoint(edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    _SCOPED_CACHES.append(both)
-    labels = (
+    ))
+    labels = _scoped_local_checkpoint(
         both.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
     )
-    _SCOPED_CACHES.append(labels)
     for _ in range(max_iter):
         nbr_min = (
             both.join(labels, both.src == labels.node)
@@ -445,9 +466,8 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint()  # eager: materializes AND cuts lineage
         )
-        _SCOPED_CACHES.append(new_labels)
+        new_labels = _scoped_local_checkpoint(new_labels)  # eager: materializes AND cuts lineage
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

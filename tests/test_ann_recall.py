@@ -39,10 +39,13 @@ def _recall_at3(approx, exact) -> float:
 
 
 def test_ivf_recall_vs_exact(spark):
-    import __spark_entry__ as E
+    # component functions directly: the registry folds D6+D8 into one
+    # union-tagged grid entry (ann_exact_ivf), but recall is a property
+    # of each component plan
+    from beeradvocate_crawler_spark.plans import textops as X
 
-    ivf = E.queries()["ivf_ann_cosine"](spark, SF_DIR).toPandas()
-    ex = E.queries()["cosine_topk"](spark, SF_DIR).toPandas()
+    ivf = X.q_ivf_ann_cosine(spark, SF_DIR).toPandas()
+    ex = X.q_cosine_topk(spark, SF_DIR).toPandas()
     # ivf carries an explicit rank column — use it
     ivf = ivf.sort_values(["query_id", "rnk"])
     r = _recall_at3(ivf, ex)
@@ -53,7 +56,10 @@ def test_lsh_recall_vs_exact(spark):
     import __spark_entry__ as E
 
     lsh = E.queries()["ann_lsh_cosine"](spark, SF_DIR).toPandas()
-    ex = E.queries()["cosine_topk"](spark, SF_DIR).toPandas()
+
+    from beeradvocate_crawler_spark.plans import textops as X
+
+    ex = X.q_cosine_topk(spark, SF_DIR).toPandas()
     r = _recall_at3(lsh, ex)
     assert r >= 0.1, f"LSH recall@3 regressed: {r:.3f}"
 
@@ -65,7 +71,10 @@ def test_trained_ivf_recall_vs_exact(spark):
     import __spark_entry__ as E
 
     ivf = E.queries()["ann_ivf_trained"](spark, SF_DIR).toPandas()
-    ex = E.queries()["cosine_topk"](spark, SF_DIR).toPandas()
+
+    from beeradvocate_crawler_spark.plans import textops as X
+
+    ex = X.q_cosine_topk(spark, SF_DIR).toPandas()
     ivf = ivf.sort_values(["query_id", "rnk"])
     r = _recall_at3(ivf, ex)
     assert r >= 0.6, f"trained-IVF recall@3 regressed: {r:.3f}"

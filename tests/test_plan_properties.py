@@ -162,7 +162,7 @@ class TestCacheHygiene:
         from beeradvocate_crawler_spark.plans import textops as X
 
         for fn in (X.q_ngram_jaccard_pairs, X.q_minhash_lsh_dedup,
-                   X.q_near_dup_keep):
+                   X.q_near_dup_keep, X.q_near_dup_keep_cc):
             fn(spark, SF_DIR).collect()
             X.release_caches()
             pinned = spark.sparkContext._jsc.getPersistentRDDs()

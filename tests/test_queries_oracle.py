@@ -25,8 +25,8 @@ SUBSET = [
     "grouped_map_zscore", "grouped_agg_p95", "map_in_pandas_tokens",
     "classify_urls", "pagination_expand", "frontier_merge",
     "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_dedup", "simhash",
-    "near_dup_keep", "near_dup_keep_cc", "ivf_ann_cosine", "token_count_bpe",
-    "cosine_topk", "embedding_neardup", "lang_id", "quality_score",
+    "near_dup_keep", "near_dup_keep_cc", "ann_exact_ivf", "token_count_bpe",
+    "pagerank_links", "embedding_neardup", "lang_id", "quality_score",
     "doc_fingerprint", "multimodal_meta", "multimodal_frames",
     "split_quota_sample", "decontaminate",
     "repetition_filter", "tfidf_top_terms", "sessionize",
