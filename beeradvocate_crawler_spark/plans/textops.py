@@ -1184,20 +1184,35 @@ def q_split_quota_sample(spark, sf):
     a per-(split, lang) quota keeping the longest docs.  Hash-based
     split (NOT ``df.sample``) is reproducible across engines, runs,
     cluster sizes, and re-partitioning — adding files never reshuffles
-    existing examples between train and eval.  The quota is a ranking
-    window over (split, lang); lang is low-cardinality, so at 100 TB
-    this is the per-host politeness top-k skew shape and reuses its
-    salted two-phase remedy (operators/politeness.py:_salted_topk)
-    when one language dominates."""
+    existing examples between train and eval.
+
+    The quota is the low-cardinality-key top-k skew shape (lang ≈
+    dozens of groups over a 100-TB corpus — one window partition per
+    group would serialize each group into one task), so it runs as the
+    SALTED TWO-PHASE rank, same scheme as the per-host politeness path
+    (operators/politeness.py:_salted_topk): phase 1 ranks within
+    (split, lang, salt) and keeps each salt's top k — a row below its
+    salt's top-k has ≥ k same-salt rows ahead of it in the group's
+    total order, so it can't be in the group top-k — phase 2 ranks the
+    ≤ n_salts·k survivors per (split, lang).  Result (incl. rk) is
+    bit-identical to the single-window plan; the oracle twin keeps the
+    plain window."""
     d = ld(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     b = F.pmod(md5h(F.col("doc_id").cast("string")), F.lit(100))
     d = d.withColumn(
         "split",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
     )
-    w = Window.partitionBy("split", "lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    order = (F.col("n_chars").desc(), F.col("doc_id"))
+    salted = d.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(8))
+    )
+    w1 = Window.partitionBy("split", "lang", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("split", "lang").orderBy(*order)
     return (
-        d.withColumn("rk", F.row_number().over(w))
+        salted.withColumn("_rk1", F.row_number().over(w1))
+        .where(F.col("_rk1") <= LANG_QUOTA_K)
+        .withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= LANG_QUOTA_K)
         .select("split", "lang", "doc_id", "n_chars", "rk")
     )
