@@ -133,8 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": X.q_tfidf_top_terms,
         # structured streaming (position 50 — last signed slot)
         "stream_window_counts": X.q_stream_window_counts,
-        # sanctioned rows-only entries past the cap (no oracle SQL by
-        # design: sketches, engine-internal hashes, float k-means)
+        # past the driver's 50-entry cap: substring_dup HAS an oracle
+        # (hash-checked by scripts/check_queries.py), the rest are
+        # sanctioned rows-only (sketches, engine hashes, float k-means)
+        "substring_dup": X.q_substring_dup,
         "approx_distinct": R.q_approx_distinct,
         "hash_xxhash64": R.q_hash_xxhash64,
         "ann_lsh_cosine": X.q_ann_lsh_cosine,
@@ -198,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": X.SQL_MULTIMODAL,
         "multimodal_frames": X.SQL_MULTIMODAL_FRAMES,
         "split_quota_sample": X.SQL_SPLIT_QUOTA,
+        "substring_dup": X.SQL_SUBSTRING_DUP,
         "decontaminate": X.SQL_DECONTAMINATE,
         "repetition_filter": X.SQL_REPETITION,
         "tfidf_top_terms": X.SQL_TFIDF,

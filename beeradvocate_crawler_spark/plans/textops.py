@@ -147,6 +147,102 @@ FROM {SQL_DOCS_WITH_COPIES} u
 GROUP BY md5(text) HAVING count(*) > 1
 """
 
+# --- exact long-span (substring) duplication --------------------------------------
+
+SUBSTR_W = 8  # window width in tokens
+
+
+def q_substring_dup(spark, sf):
+    """D22: exact long-span duplication stats — the signal behind
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), distinct from D4's
+    3-gram Jaccard: it catches verbatim REUSE of long spans (boiler-
+    plate, quotations, mirrored paragraphs) that whole-doc similarity
+    misses.  A doc is flagged when ≥ half of its distinct 8-token
+    windows also occur in some OTHER doc (integer 2·shared ≥ total —
+    no float threshold).
+
+    Fixture: docs (≥16 tokens) ∪ first-half partial copies for every
+    third doc — originals land near the flag boundary (≈45% shared),
+    partial copies are fully shared, untouched docs share nothing.
+
+    Scale shape (100 TB): rolling window hashes are computed per doc
+    map-side (array exprs, codegen); then ONE hash-agg over gram
+    hashes and ONE equi-join back — never doc×doc pairs, unlike a
+    naive substring self-join.  The gram→count table is the only
+    shuffled state and it shrinks with dedup progress.
+
+    Tokens are STAGED as a bound column before the window lambda: an
+    unbound tokens_expr referenced 8× inside the higher-order function
+    re-runs the regex tokenizer per element reference (the same
+    O(tokens²) pitfall repetition_filter hit — measured 105 s → 12 s
+    at sf0.1 from this staging alone; the residual is genuine md5 work
+    over every window)."""
+    d = (
+        ld(spark, sf, "documents").select("doc_id", "text")
+        .transform(_spread)
+        .withColumn("toks", tokens_expr(F.col("text")))
+        .where(F.size("toks") >= 2 * SUBSTR_W)
+    )
+    u = d.select("doc_id", "toks").unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.slice(
+                F.col("toks"), 1, F.floor(F.size("toks") / 2).cast("int")
+            ).alias("toks"),
+        )
+    )
+    t = F.col("toks")
+    grams = F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (SUBSTR_W - 1), F.lit(0))),
+        lambda x, i: md5h(
+            F.concat_ws(
+                " ", x, *[F.element_at(t, i + k) for k in range(2, SUBSTR_W + 1)]
+            )
+        ),
+    )
+    g = u.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+    per = g.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        g.join(per, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("shared_grams"),
+        )
+        .withColumn("flagged", F.col("shared_grams") * 2 >= F.col("n_grams"))
+    )
+
+
+_SQL_WGRAM = SQL_MD5H.format(
+    x="(x || ' ' || " + " || ' ' || ".join(f"t[i+{k}]" for k in range(1, SUBSTR_W))
+    + ")"
+)
+
+SQL_SUBSTRING_DUP = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS_EXPR.format(t='text')} AS t FROM documents),
+big AS (SELECT doc_id, t FROM base WHERE len(t) >= {2 * SUBSTR_W}),
+u AS (
+  SELECT doc_id, t FROM big
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, t[1:(len(t) // 2)] AS t
+  FROM big WHERE doc_id % 3 = 0),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           t[1:greatest(len(t) - {SUBSTR_W - 1}, 0)],
+           (x, i) -> {_SQL_WGRAM}))) AS gh
+  FROM u),
+per AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+SELECT doc_id, count(*) AS n_grams,
+       (sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END))::BIGINT AS shared_grams,
+       (2 * sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) >= count(*)) AS flagged
+FROM g JOIN per USING (gh)
+GROUP BY doc_id
+"""
+
+
 # --- n-gram Jaccard near-dup (exact pairwise within source) ------------------------
 
 def _spread(docs: DataFrame) -> DataFrame:
