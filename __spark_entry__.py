@@ -71,13 +71,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver checks at most the FIRST 50 entries
     # (diagnosed in round 1: 50 rows recorded for 51 entries).  Round 3
     # consolidated same-family queries (semi+anti, rollup+cube+gsets,
-    # lag+runsum, string+hash, split+quota, collect+datetime; C4's slot
-    # is the full-outer join) so that EVERY oracle-bearing family —
-    # including D15-D21 and the new connected-components keep — sits in
-    # the signed window; only the sanctioned rows-only entries (no
-    # oracle SQL by design) sit past the cap.
+    # lag+runsum, string+hash, tpch_q1+math, split+quota,
+    # collect+datetime; C4's slot is the full-outer join) so that EVERY
+    # oracle-bearing family — including D15-D22 and the
+    # connected-components keep — sits in the signed window; only the
+    # sanctioned rows-only entries (no oracle SQL by design) sit past
+    # the cap.
     return {
-        # C1-C25: relational core (21 entries)
+        # C1-C25: relational core (20 entries)
         "scan_filter_project": R.q_scan_filter_project,
         "tpch_q1": R.q_tpch_q1,
         "full_outer_join": R.q_full_outer_join,
@@ -95,7 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": R.q_topk_orders,
         "set_except": R.q_set_except,
         "string_hash_funcs": R.q_string_hash_funcs,
-        "math_funcs": R.q_math_funcs,
         "array_hof": R.q_array_hof,
         "json_extract": R.q_json_extract,
         # C26-C29: vectorized Python boundary (5)
@@ -131,12 +131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": X.q_decontaminate,
         "repetition_filter": X.q_repetition_filter,
         "tfidf_top_terms": X.q_tfidf_top_terms,
+        # D22 exact long-span duplication (slot freed by folding the
+        # C22 math aggregates into tpch_q1's lineitem groupBy)
+        "substring_dup": X.q_substring_dup,
         # structured streaming (position 50 — last signed slot)
         "stream_window_counts": X.q_stream_window_counts,
-        # past the driver's 50-entry cap: substring_dup HAS an oracle
-        # (hash-checked by scripts/check_queries.py), the rest are
-        # sanctioned rows-only (sketches, engine hashes, float k-means)
-        "substring_dup": X.q_substring_dup,
+        # past the driver's 50-entry cap: ONLY the sanctioned rows-only
+        # entries (sketches, engine hashes, float k-means — no oracle
+        # SQL by design); every oracle-bearing query is on the grid
         "approx_distinct": R.q_approx_distinct,
         "hash_xxhash64": R.q_hash_xxhash64,
         "ann_lsh_cosine": X.q_ann_lsh_cosine,
@@ -169,7 +171,6 @@ def oracle_sql() -> dict[str, str]:
         "set_except": R.SQL_EXCEPT,
         "string_hash_funcs": R.SQL_STRING_HASH,
         # hash_xxhash64: DuckDB lacks xxhash64 -> rows-only
-        "math_funcs": R.SQL_MATH,
         "array_hof": R.SQL_ARRAY_HOF,
         "json_extract": R.SQL_JSON,
         "pandas_udf_canonicalize": R.SQL_CANON,

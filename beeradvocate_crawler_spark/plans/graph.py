@@ -65,15 +65,22 @@ def q_pagerank_links(spark, sf):
     """G1: 3 sweeps of fixed-point integer PageRank (d=0.85) over the
     symmetrized customer↔supplier graph; top-20 nodes by final mass.
 
-    Integer mass → bit-identical in Spark and DuckDB (module doc); the
+    Integer mass → bit-identical in Spark and DuckDB (module doc).
+    ``outdeg`` is folded INTO the persisted edge list once (an edge's
+    source degree is sweep-invariant), so each sweep is exactly one
+    shuffle join (rank vector ⋈ edges on ``src``) plus one hash-agg on
+    ``dst`` — not the two joins the naive pr⋈deg⋈edges shape pays; the
     edge list is persisted hash-partitioned on ``src`` so all sweeps
     reuse one partitioning."""
-    edges = _scoped_persist(_edges(spark, sf).repartition("src"))
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges0 = _scoped_persist(_edges(spark, sf).repartition("src"))
+    deg = edges0.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = _scoped_persist(
+        edges0.join(deg, "src").select("src", "dst", "outdeg")
+    )
     pr = deg.select("src", F.lit(_INIT).cast("long").alias("pr"))
     for _ in range(_ITERS):
         contrib = (
-            edges.join(pr.join(deg, "src"), "src")
+            edges.join(pr, "src")
             .select(
                 F.col("dst"),
                 F.expr("pr * 85 div (100 * outdeg)").alias("c"),

@@ -55,6 +55,11 @@ FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
 # --- C11: TPC-H Q1-style hash aggregation --------------------------------------
 
 def q_tpch_q1(spark, sf):
+    """C11 hash-agg + C22 math functions in one signed slot (round-3
+    consolidation: the floor/log/abs/pmod aggregates from the former
+    ``math_funcs`` entry run over the SAME lineitem groupBy, so the
+    family stays hash-checked on the driver grid without spending a
+    second slot — mirrors the string+hash merge)."""
     li = ld(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -63,6 +68,10 @@ def q_tpch_q1(spark, sf):
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
+        F.sum(F.floor("l_quantity")).alias("sum_floor_qty"),
+        F.round(F.sum(F.log(F.col("l_extendedprice") + 1)), 2).alias("sum_log_price"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 2).alias("sum_absdev"),
+        F.sum(F.pmod(F.col("l_partkey"), F.lit(7))).alias("sum_pmod7"),
     )
 
 
@@ -73,7 +82,11 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(avg(l_quantity), 4)      AS avg_qty,
        round(avg(l_discount), 4)      AS avg_disc,
-       count(*)                       AS count_order
+       count(*)                       AS count_order,
+       sum(floor(l_quantity))::BIGINT AS sum_floor_qty,
+       round(sum(ln(l_extendedprice + 1)), 2) AS sum_log_price,
+       round(sum(abs(l_discount - 0.05)), 2)  AS sum_absdev,
+       sum(l_partkey % 7)::BIGINT     AS sum_pmod7
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
@@ -477,26 +490,7 @@ SELECT doc_id,
 FROM documents
 """
 
-# --- C22: math -------------------------------------------------------------------------
-
-def q_math_funcs(spark, sf):
-    li = ld(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.sum(F.floor("l_quantity")).alias("sum_floor_qty"),
-        F.round(F.sum(F.log(F.col("l_extendedprice") + 1)), 2).alias("sum_log_price"),
-        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 2).alias("sum_absdev"),
-        F.sum(F.pmod(F.col("l_partkey"), F.lit(7))).alias("sum_pmod7"),
-    )
-
-
-SQL_MATH = """
-SELECT l_returnflag,
-       sum(floor(l_quantity))::BIGINT AS sum_floor_qty,
-       round(sum(ln(l_extendedprice + 1)), 2) AS sum_log_price,
-       round(sum(abs(l_discount - 0.05)), 2) AS sum_absdev,
-       sum(l_partkey % 7)::BIGINT AS sum_pmod7
-FROM lineitem GROUP BY l_returnflag
-"""
+# --- C22: math — merged into q_tpch_q1 (round-3 grid consolidation) ----------------------
 
 # --- C23: array / higher-order functions -------------------------------------------------
 

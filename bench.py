@@ -34,6 +34,34 @@ def force(df) -> int:
     return row["n"]
 
 
+def box_health() -> dict:
+    """Environmental probe recorded with every bench line.
+
+    The shared VM's effective memory bandwidth swings >3x with host
+    neighbors (round-3 diagnosis: the same crawl binary measured 1428,
+    671 and 478 URLs/s within 90 minutes while load stayed ~0.2 and
+    steal time was zero — a 1.1 GB/s single-thread memcpy reading,
+    vs ~10+ healthy, was the only observable).  Recording cpu + memcpy
+    micro-numbers alongside the headline makes a slow line attributable
+    to the box instead of silently reading as an engine regression."""
+    import numpy as np
+
+    t0 = time.time()
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    cpu_ms = (time.time() - t0) * 1000
+    a = np.zeros(12_500_000)  # 100 MB of doubles
+    b = np.empty_like(a)
+    np.copyto(b, a)  # warm/fault pages untimed
+    t0 = time.time()
+    for _ in range(5):
+        np.copyto(b, a)
+    memcpy_gbps = 5 * a.nbytes * 2 / (time.time() - t0) / 1e9
+    return {"cpu_loop_ms": round(cpu_ms, 1),
+            "memcpy_gbps": round(memcpy_gbps, 2)}
+
+
 def crawl_throughput(spark, scale: str, round_seconds: int) -> dict:
     from beeradvocate_crawler_spark.config import CrawlConfig
     from beeradvocate_crawler_spark.fixtures import site_model as sm
@@ -88,6 +116,7 @@ def main() -> int:
 
     import __spark_entry__ as E
 
+    health = box_health()
     spark = get_spark(master=f"local[{cpus}]")
     crawl = crawl_throughput(spark, scale, rs)
 
@@ -115,6 +144,7 @@ def main() -> int:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": crawl,
+        "box": health,
         "cpus": cpus,
         "scaling": load_scaling_evidence(),
         "queries": qtimes,

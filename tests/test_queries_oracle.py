@@ -20,7 +20,7 @@ TABLES = (
 SUBSET = [
     "tpch_q1", "full_outer_join", "semi_anti_join", "asof_latest_event",
     "grouping_analytics", "window_rank_orders", "window_lag_runsum",
-    "collect_sorted", "string_hash_funcs", "math_funcs",
+    "collect_sorted", "string_hash_funcs",
     "array_hof", "json_extract", "pandas_udf_canonicalize",
     "grouped_map_zscore", "grouped_agg_p95", "map_in_pandas_tokens",
     "classify_urls", "pagination_expand", "frontier_merge",
