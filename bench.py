@@ -43,7 +43,13 @@ def box_health() -> dict:
     steal time was zero — a 1.1 GB/s single-thread memcpy reading,
     vs ~10+ healthy, was the only observable).  Recording cpu + memcpy
     micro-numbers alongside the headline makes a slow line attributable
-    to the box instead of silently reading as an engine regression."""
+    to the box instead of silently reading as an engine regression.
+
+    Two memcpy figures: single-thread (latency-bound) and an 8-thread
+    aggregate (what a 32-task Spark stage actually contends for — the
+    collapsed state measured 1.1 / 3.7 GB/s vs ~30 / ~20+ healthy)."""
+    import threading
+
     import numpy as np
 
     t0 = time.time()
@@ -58,8 +64,26 @@ def box_health() -> dict:
     for _ in range(5):
         np.copyto(b, a)
     memcpy_gbps = 5 * a.nbytes * 2 / (time.time() - t0) / 1e9
+
+    # 8-thread aggregate: numpy copyto releases the GIL
+    bufs = [(np.zeros(6_250_000), np.empty(6_250_000)) for _ in range(8)]
+    for src, dst in bufs:
+        np.copyto(dst, src)
+
+    def worker(src, dst):
+        for _ in range(5):
+            np.copyto(dst, src)
+
+    threads = [threading.Thread(target=worker, args=p) for p in bufs]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mt_gbps = 8 * 5 * bufs[0][0].nbytes * 2 / (time.time() - t0) / 1e9
     return {"cpu_loop_ms": round(cpu_ms, 1),
-            "memcpy_gbps": round(memcpy_gbps, 2)}
+            "memcpy_gbps": round(memcpy_gbps, 2),
+            "memcpy_mt8_gbps": round(mt_gbps, 2)}
 
 
 def crawl_throughput(spark, scale: str, round_seconds: int) -> dict:
@@ -119,6 +143,10 @@ def main() -> int:
     health = box_health()
     spark = get_spark(master=f"local[{cpus}]")
     crawl = crawl_throughput(spark, scale, rs)
+    # re-probe AFTER the crawl leg: the shared VM's bandwidth can
+    # collapse mid-run (measured 79 -> 180 s walls minutes apart with a
+    # healthy PRE-probe both times), so one sample can't attribute it
+    health_post = box_health()
 
     from beeradvocate_crawler_spark.plans.textops import release_caches
 
@@ -145,6 +173,7 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": crawl,
         "box": health,
+        "box_post_crawl": health_post,
         "cpus": cpus,
         "scaling": load_scaling_evidence(),
         "queries": qtimes,
