@@ -300,3 +300,58 @@ class TestMissingPages404:
                   CrawlConfig(round_seconds=16))
         errs = compare(spark, f"{tmp}/run", ores, corpus)
         assert not errs, "\n".join(errs)
+
+
+class TestTimeTravel:
+    def test_manifest_for_round_reconstructs_history(
+        self, spark, smoke_site, site_dirs
+    ):
+        """Time travel by round (catalog.py manifest_for_round, the
+        Iceberg-snapshot semantics SURVEY §7.4 claims): reading the
+        tables through EVERY historical manifest must reproduce the
+        sequential oracle's state as of that round — ledger == oracle
+        crawl_order truncated at r, seen grows monotonically to the
+        oracle's final set, pending frontier ⊆ seen and disjoint from
+        the already-fetched ledger, and each old manifest still passes
+        file-level validation (old snapshots are immutable)."""
+        from beeradvocate_crawler_spark.sources.catalog import SnapshotCatalog
+
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_tt"
+        plans.run(spark, pages_path, sm.SEED_URLS, run_dir,
+                  CrawlConfig(round_seconds=16))
+        cat = SnapshotCatalog(spark, run_dir)
+        last = cat.latest().round
+        assert last == ores.rounds
+
+        prev_seen: set | None = None
+        for r in range(1, last + 1):
+            m = cat.manifest_for_round(r)
+            assert m.round == r
+            assert cat.validate(m) == []
+
+            df = cat.read("crawl_order", m)
+            order = (
+                []
+                if df is None
+                else [(x["rank"], x["round"], x["url"])
+                      for x in df.orderBy("rank").collect()]
+            )
+            assert order == [t for t in ores.crawl_order if t[1] <= r], (
+                f"ledger at round {r} is not the oracle prefix"
+            )
+
+            seen = {x["url"] for x in cat.read("seen", m).collect()}
+            if prev_seen is not None:
+                assert prev_seen <= seen, f"seen shrank at round {r}"
+            prev_seen = seen
+
+            fr = cat.read("frontier", m)
+            pend = set() if fr is None else {x["url"] for x in fr.collect()}
+            assert pend <= seen, f"pending url not in seen at round {r}"
+            assert not pend & {u for _, _, u in order}, (
+                f"pending url already fetched at round {r}"
+            )
+
+        assert prev_seen == ores.seen
