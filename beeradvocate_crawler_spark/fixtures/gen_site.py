@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from ..sources.corpus import write_corpus_meta
 from . import site_model as sm
 
 
@@ -243,26 +242,12 @@ def write_pages_parquet(spark, scale: str, out_dir: str, n_buckets: int = 16,
     join that inherits the scan's partitioning, so per-bucket file
     count — not bucket count — is what bounds fetch+parse parallelism
     when one hot host owns a bucket.  (A real Common-Crawl-scale corpus
-    has thousands of files per partition for the same reason.)"""
-    from pyspark.sql import functions as F
+    has thousands of files per partition for the same reason.)
 
-    files_per_bucket = files_per_bucket or max(
-        64, spark.sparkContext.defaultParallelism * 2
+    Layout + sidecar live in sources/ingest.py::write_corpus — the
+    same writer external WARC/JSONL ingestion uses."""
+    from beeradvocate_crawler_spark.sources.ingest import write_corpus
+
+    return write_corpus(
+        pages_df(spark, scale), out_dir, n_buckets, files_per_bucket
     )
-    df = pages_df(spark, scale)
-    (
-        df.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.parse_url("url", F.lit("HOST"))), F.lit(n_buckets)),
-        )
-        .withColumn(
-            "file_in_bucket",
-            F.pmod(F.xxhash64("url"), F.lit(files_per_bucket)),
-        )
-        .repartition(n_buckets * files_per_bucket, "bucket", "file_in_bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket", "file_in_bucket")
-        .parquet(out_dir)
-    )
-    write_corpus_meta(out_dir, n_buckets, files_per_bucket)
-    return out_dir

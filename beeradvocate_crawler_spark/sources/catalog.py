@@ -15,7 +15,12 @@ file-list* (mode "replace" points at the latest rewrite, mode "delta"
 accumulates append paths) plus row counts and free-form lineage/metrics.
 Commit protocol: write parquet dirs -> write manifest json -> atomic
 ``os.replace`` of the pointer.  A crash between steps leaves the old
-snapshot intact (exact resume, BASELINE.json north_rule).
+snapshot intact (exact resume, BASELINE.json north_rule).  Commits are
+optimistically concurrent, Iceberg-style: an O_EXCL lock file bounds
+the critical section (a lock whose holder pid is dead is cleared), and
+inside it the commit fails with CommitConflictError unless the pointer
+still names the snapshot this writer staged against — two drivers
+racing the same run dir cannot silently clobber each other's rounds.
 
 Per-partition lineage (A19): every write also inventories its part
 files — path, byte size, and parquet-footer row count — into the
@@ -45,6 +50,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 REPLACE = "replace"
 DELTA = "delta"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed to (or holds the commit lock of) this
+    run dir.  The Iceberg analogue: optimistic concurrency — stage
+    freely, but a commit whose base snapshot is no longer current MUST
+    fail instead of silently clobbering the other writer's round (two
+    drivers resuming the same run dir after a failover is the real
+    scenario).  Callers retry from the NEW current snapshot or stop."""
 
 
 @dataclass
@@ -82,6 +96,12 @@ class SnapshotCatalog:
         # round loop overlaps independent table writes); the parquet
         # writes themselves are independent, only staging is shared
         self._stage_lock = threading.Lock()
+        # base snapshot this INSTANCE believes is current — the other
+        # half of optimistic concurrency (commit_round): a commit is
+        # only valid on top of the snapshot this writer staged against,
+        # so two writers racing the same round cannot both land
+        m = self.latest()
+        self._base_round = m.round if m is not None else -1
 
     # -- snapshot pointer ------------------------------------------------------
     def latest(self) -> Manifest | None:
@@ -152,13 +172,85 @@ class SnapshotCatalog:
                 })
         return files
 
+    def _acquire_commit_lock(self, r: int) -> None:
+        """O_EXCL lock file = the commit critical section.  A lock left
+        by a DEAD process (crash mid-commit; the old snapshot is intact
+        by the write-ordering protocol) is cleared and retried once; a
+        LIVE holder is a genuine concurrent writer -> conflict."""
+        lock = os.path.join(self.run_dir, "_COMMIT_LOCK")
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, json.dumps(
+                    {"pid": os.getpid(), "round": r}).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        holder = json.load(f)
+                    pid = int(holder.get("pid", -1))
+                except (OSError, ValueError):
+                    holder, pid = "unreadable", -1
+                if attempt == 0 and pid > 0 and not os.path.exists(
+                    f"/proc/{pid}"
+                ):
+                    try:  # stale lock from a crashed writer
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
+                raise CommitConflictError(
+                    f"commit lock of {self.run_dir} held by {holder}"
+                ) from None
+
+    def _release_commit_lock(self) -> None:
+        try:
+            os.unlink(os.path.join(self.run_dir, "_COMMIT_LOCK"))
+        except OSError:
+            pass
+
     def commit_round(
         self,
         r: int,
         lineage: dict[str, Any] | None = None,
         metrics: dict[str, Any] | None = None,
     ) -> Manifest:
+        self._acquire_commit_lock(r)
+        try:
+            return self._commit_round_locked(r, lineage, metrics)
+        finally:
+            self._release_commit_lock()
+
+    def _commit_round_locked(
+        self,
+        r: int,
+        lineage: dict[str, Any] | None,
+        metrics: dict[str, Any] | None,
+    ) -> Manifest:
         prev = self.latest()
+        # CAS half of optimistic concurrency: the commit is only valid
+        # on top of the immediately-preceding snapshot.  If another
+        # writer advanced the pointer since this round staged its
+        # writes, committing would orphan that writer's round — fail
+        # loudly instead.  (resume-after-rollback still passes: the
+        # pointer then NAMES round r-1, orphaned newer manifest files
+        # notwithstanding.)
+        prev_round = prev.round if prev is not None else -1
+        # r == prev_round is a sanctioned amend of the CURRENT snapshot
+        # (resume rebuilds seen_filter into its own round); either way
+        # the pointer must still name the snapshot THIS writer staged
+        # against — if a concurrent writer advanced it (including to
+        # the same round number), committing would clobber their round.
+        if self._base_round != prev_round or r not in (
+            prev_round, prev_round + 1
+        ):
+            raise CommitConflictError(
+                f"cannot commit round {r}: current snapshot is round "
+                f"{prev_round}, this writer staged against round "
+                f"{self._base_round} — another writer advanced or "
+                "rewound this run dir"
+            )
         m = Manifest(r, {}, lineage or {}, metrics or {})
         prev_tables = prev.tables if prev else {}
         names = set(prev_tables) | set(self._staged)
@@ -193,6 +285,7 @@ class SnapshotCatalog:
             f.write(m.to_json())
         self._write_pointer(r, mf)
         self._staged = {}
+        self._base_round = r
         return m
 
     def _write_pointer(self, r: int, mf: str) -> None:
@@ -256,6 +349,7 @@ class SnapshotCatalog:
             if not probs:
                 if r != m.round:
                     self._write_pointer(r, f"manifest-{r:06d}.json")
+                self._base_round = r
                 return mr
             first_problems = first_problems or probs
             r -= 1

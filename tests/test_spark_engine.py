@@ -355,3 +355,90 @@ class TestTimeTravel:
             )
 
         assert prev_seen == ores.seen
+
+
+class TestCommitConcurrency:
+    """Optimistic-concurrency commit protocol (catalog.py): the Iceberg
+    semantics that two writers on one run dir cannot silently clobber
+    each other.  No Spark jobs — commit_round with nothing staged
+    carries tables forward, which is all the protocol needs."""
+
+    def _cat(self, spark, d):
+        from beeradvocate_crawler_spark.sources.catalog import SnapshotCatalog
+
+        return SnapshotCatalog(spark, d)
+
+    def test_racing_writers_second_commit_fails(self, spark):
+        from beeradvocate_crawler_spark.sources.catalog import (
+            CommitConflictError,
+        )
+
+        d = tempfile.mkdtemp(prefix="ba_cc_")
+        a = self._cat(spark, d)
+        a.commit_round(0)
+        b = self._cat(spark, d)  # base = round 0, same as a
+        b.commit_round(1)  # b wins round 1
+        with pytest.raises(CommitConflictError, match="staged against"):
+            a.commit_round(1)  # a must NOT clobber b's round 1
+        with pytest.raises(CommitConflictError):
+            a.commit_round(2)  # nor commit past a snapshot it never saw
+        assert self._cat(spark, d).latest().round == 1
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_round_gap_rejected(self, spark):
+        from beeradvocate_crawler_spark.sources.catalog import (
+            CommitConflictError,
+        )
+
+        d = tempfile.mkdtemp(prefix="ba_cc_")
+        a = self._cat(spark, d)
+        a.commit_round(0)
+        with pytest.raises(CommitConflictError):
+            a.commit_round(2)  # skips round 1
+        a.commit_round(1)  # sequential is fine
+        a.commit_round(1)  # amending one's own current round is fine
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_live_lock_holder_conflicts_dead_lock_cleared(self, spark):
+        import json as J
+        import os as O
+
+        from beeradvocate_crawler_spark.sources.catalog import (
+            CommitConflictError,
+        )
+
+        d = tempfile.mkdtemp(prefix="ba_cc_")
+        a = self._cat(spark, d)
+        lock = O.path.join(d, "_COMMIT_LOCK")
+        # live holder (this process) -> genuine conflict
+        with open(lock, "w") as f:
+            J.dump({"pid": O.getpid(), "round": 0}, f)
+        with pytest.raises(CommitConflictError, match="lock"):
+            a.commit_round(0)
+        O.unlink(lock)
+        # dead holder -> stale lock is cleared and the commit proceeds
+        with open(lock, "w") as f:
+            J.dump({"pid": 2**22 + 7, "round": 0}, f)  # beyond pid_max
+        a.commit_round(0)
+        assert not O.path.exists(lock)
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_resume_after_rollback_still_commits(self, spark, smoke_site, site_dirs):
+        """The CAS check must not break the sanctioned re-commit flows:
+        rollback_to_valid -> re-run lost rounds, and resume's
+        seen_filter amend of its own round."""
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_cc_resume"
+        plans.run(spark, pages_path, sm.SEED_URLS, run_dir,
+                  CrawlConfig(round_seconds=16), max_rounds=3)
+        cat = self._cat(spark, run_dir)
+        # corrupt the newest snapshot's frontier file -> rollback territory
+        m = cat.latest()
+        fe = m.tables["frontier"]["files"][0]
+        p = f"{run_dir}/{fe['path']}"
+        with open(p, "r+b") as f:
+            f.truncate(max(1, fe["bytes"] // 2))
+        plans.resume(spark, pages_path, run_dir)
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
