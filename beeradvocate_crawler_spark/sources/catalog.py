@@ -288,6 +288,93 @@ class SnapshotCatalog:
         self._base_round = r
         return m
 
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) -----------
+    def compact_table(self, name: str, target_files: int | None = None) -> Manifest:
+        """Rewrite a delta table's accumulated round files as ONE
+        replace write and amend the current snapshot (Iceberg
+        ``rewrite_data_files``).  At 10^10-URL scale the append-only
+        tables (seen, frontier_log, crawl_order) otherwise grow one
+        path-list entry per round and every read plans thousands of
+        tiny files.  The rewrite lands in a NEW directory
+        (``r={r}c``), so older manifests keep referencing the original
+        delta dirs — time travel is untouched until
+        ``expire_snapshots`` reclaims them."""
+        m = self.latest()
+        if m is None or name not in m.tables:
+            raise ValueError(f"no table {name!r} to compact")
+        df = self.read(name, m)
+        if df is None:
+            return m
+        n = self.rows(name, m)
+        target_files = target_files or max(
+            1, self.spark.sparkContext.defaultParallelism
+        )
+        path = os.path.join(self.run_dir, name, f"r={m.round:06d}c")
+        df.repartition(target_files).write.mode("overwrite").parquet(path)
+        with self._stage_lock:
+            self._staged[name] = {
+                "mode": REPLACE, "path": path, "rows": n,
+                "files": self._inventory(path),
+            }
+        return self.commit_round(m.round, lineage=m.lineage, metrics=m.metrics)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+        """Drop manifests older than the newest ``keep_last`` rounds
+        and DELETE data directories no kept manifest references
+        (Iceberg ``expire_snapshots``): bounds catalog metadata and
+        reclaims delta dirs superseded by ``compact_table``.  Time
+        travel afterwards reaches only the kept rounds.  Runs inside
+        the commit lock — it mutates shared catalog state."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.latest()
+        if cur is None:
+            return {"manifests_removed": 0, "dirs_removed": 0}
+        self._acquire_commit_lock(cur.round)
+        try:
+            mdir = os.path.join(self.run_dir, "_manifests")
+            rounds = sorted(
+                int(f[len("manifest-"):-len(".json")])
+                for f in os.listdir(mdir)
+                if f.startswith("manifest-") and f.endswith(".json")
+            )
+            keep = set(rounds[-keep_last:]) | {cur.round}
+            referenced: set[str] = set()
+            for r in keep:
+                for t in self.manifest_for_round(r).tables.values():
+                    referenced.update(
+                        os.path.normpath(p) for p in t.get("paths", [])
+                    )
+            dirs_removed = 0
+            for entry in os.listdir(self.run_dir):
+                tdir = os.path.join(self.run_dir, entry)
+                if entry.startswith("_") or not os.path.isdir(tdir):
+                    continue
+                for sub in os.listdir(tdir):
+                    p = os.path.normpath(os.path.join(tdir, sub))
+                    if not sub.startswith("r=") or p in referenced:
+                        continue
+                    try:
+                        # staged-but-uncommitted dirs (round beyond the
+                        # current snapshot) are never expired
+                        if int(sub[2:].rstrip("c")) > cur.round:
+                            continue
+                    except ValueError:
+                        continue
+                    shutil.rmtree(p, ignore_errors=True)
+                    dirs_removed += 1
+            manifests_removed = 0
+            for r in rounds:
+                if r not in keep:
+                    os.unlink(os.path.join(mdir, f"manifest-{r:06d}.json"))
+                    manifests_removed += 1
+            return {"manifests_removed": manifests_removed,
+                    "dirs_removed": dirs_removed}
+        finally:
+            self._release_commit_lock()
+
     def _write_pointer(self, r: int, mf: str) -> None:
         tmp = os.path.join(self.run_dir, "_SNAPSHOT.tmp")
         with open(tmp, "w") as f:

@@ -442,3 +442,88 @@ class TestCommitConcurrency:
         plans.resume(spark, pages_path, run_dir)
         errs = compare(spark, run_dir, ores, corpus)
         assert not errs, "\n".join(errs)
+
+
+class TestCatalogMaintenance:
+    """compact_table + expire_snapshots (catalog.py): the Iceberg
+    rewrite_data_files / expire_snapshots analogues that keep the
+    append-only tables' file lists bounded over thousands of rounds."""
+
+    def test_compact_preserves_data_and_time_travel(self, spark):
+        from beeradvocate_crawler_spark.sources.catalog import (
+            DELTA,
+            SnapshotCatalog,
+        )
+
+        d = tempfile.mkdtemp(prefix="ba_cm_")
+        cat = SnapshotCatalog(spark, d)
+        for r in range(3):
+            df = spark.range(r * 10, r * 10 + 10).withColumnRenamed("id", "v")
+            cat.write_round("t", df, r, DELTA, skip_if_empty=False, n_rows=10)
+            cat.commit_round(r)
+        assert len(cat.latest().tables["t"]["paths"]) == 3
+        cat.compact_table("t", target_files=2)
+        m = cat.latest()
+        assert m.round == 2  # amend, not a new round
+        assert len(m.tables["t"]["paths"]) == 1
+        assert cat.validate(m) == []
+        got = sorted(x["v"] for x in cat.read("t").collect())
+        assert got == list(range(30))
+        # time travel to PRE-compaction manifests still reads old dirs
+        old = sorted(
+            x["v"] for x in cat.read("t", cat.manifest_for_round(1)).collect()
+        )
+        assert old == list(range(20))
+        # a later delta appends on top of the compacted base
+        cat.write_round("t", spark.range(30, 35).withColumnRenamed("id", "v"),
+                        3, DELTA, skip_if_empty=False, n_rows=5)
+        cat.commit_round(3)
+        assert sorted(x["v"] for x in cat.read("t").collect()) == list(range(35))
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_expire_reclaims_unreferenced_dirs(self, spark):
+        import os as O
+
+        from beeradvocate_crawler_spark.sources.catalog import (
+            DELTA,
+            SnapshotCatalog,
+        )
+
+        d = tempfile.mkdtemp(prefix="ba_ex_")
+        cat = SnapshotCatalog(spark, d)
+        for r in range(4):
+            df = spark.range(r * 10, r * 10 + 10).withColumnRenamed("id", "v")
+            cat.write_round("t", df, r, DELTA, skip_if_empty=False, n_rows=10)
+            cat.commit_round(r)
+        cat.compact_table("t", target_files=1)
+        stats = cat.expire_snapshots(keep_last=1)
+        assert stats["manifests_removed"] == 3
+        assert stats["dirs_removed"] == 4  # the four superseded deltas
+        assert sorted(O.listdir(O.path.join(d, "t"))) == ["r=000003c"]
+        m = cat.latest()
+        assert cat.validate(m) == []
+        assert sorted(x["v"] for x in cat.read("t").collect()) == list(range(40))
+        with pytest.raises(FileNotFoundError):
+            cat.manifest_for_round(0)  # expired — time travel horizon moved
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_maintenance_mid_crawl_then_resume_matches_oracle(
+        self, spark, smoke_site, site_dirs
+    ):
+        """Compaction + expiry between run legs must not disturb exact
+        resume: the resumed crawl still reproduces the oracle."""
+        from beeradvocate_crawler_spark.sources.catalog import SnapshotCatalog
+
+        _, corpus, ores = smoke_site
+        tmp, pages_path = site_dirs
+        run_dir = f"{tmp}/run_maint"
+        plans.run(spark, pages_path, sm.SEED_URLS, run_dir,
+                  CrawlConfig(round_seconds=16), max_rounds=3)
+        cat = SnapshotCatalog(spark, run_dir)
+        for t in ("seen", "frontier_log", "crawl_order", "parsed"):
+            if cat.latest().tables.get(t, {}).get("paths"):
+                cat.compact_table(t, target_files=2)
+        cat.expire_snapshots(keep_last=1)
+        plans.resume(spark, pages_path, run_dir)
+        errs = compare(spark, run_dir, ores, corpus)
+        assert not errs, "\n".join(errs)
