@@ -161,11 +161,24 @@ class TestCacheHygiene:
         pinned (round-2 ADVICE / VERDICT ask #5)."""
         from beeradvocate_crawler_spark.plans import textops as X
 
+        def _pinned_ids() -> set:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            it = jmap.keySet().iterator()
+            ids = set()
+            while it.hasNext():
+                ids.add(int(str(it.next())))
+            return ids
+
+        # Baseline-relative: the session fixture is shared across the whole
+        # suite, so blocks pinned by EARLIER tests may legitimately still be
+        # alive here.  What this guard promises is that THESE queries do not
+        # add to the pinned set once released.
+        baseline = _pinned_ids()
         for fn in (X.q_ngram_jaccard_pairs, X.q_minhash_lsh_dedup,
                    X.q_near_dup_keep, X.q_near_dup_keep_cc):
             fn(spark, SF_DIR).collect()
             X.release_caches()
-            pinned = spark.sparkContext._jsc.getPersistentRDDs()
-            assert pinned.isEmpty(), (
-                f"{fn.__name__}: {pinned.size()} RDDs still persisted "
+            leaked = _pinned_ids() - baseline
+            assert not leaked, (
+                f"{fn.__name__}: RDD ids {sorted(leaked)} still persisted "
                 f"after release_caches()")
