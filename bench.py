@@ -141,7 +141,10 @@ def main() -> int:
     import __spark_entry__ as E
 
     health = box_health()
-    spark = get_spark(master=f"local[{cpus}]")
+    # no console progress bar: its \r redraws can land on the same
+    # physical line as the final JSON emission the driver parses
+    spark = get_spark(master=f"local[{cpus}]",
+                      extra={"spark.ui.showConsoleProgress": "false"})
     crawl = crawl_throughput(spark, scale, rs)
     # re-probe AFTER the crawl leg: the shared VM's bandwidth can
     # collapse mid-run (measured 79 -> 180 s walls minutes apart with a
@@ -190,7 +193,13 @@ def main() -> int:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(out, separators=(",", ":")))
+    # Leading newline: Spark's console progress bar redraws with bare
+    # carriage returns, so without it the final stage-progress fragment
+    # shares the JSON's physical line and a line-oriented parse of the
+    # captured tail fails (BENCH_r02 "parsed": null).  flush so the line
+    # survives an immediate process exit.
+    sys.stdout.write("\n" + json.dumps(out, separators=(",", ":")) + "\n")
+    sys.stdout.flush()
     return 0
 
 
