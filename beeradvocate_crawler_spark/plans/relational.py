@@ -845,3 +845,173 @@ WITH toks AS (
 SELECT doc_id, (i - 1)::INT AS pos, t[i] || ' ' || t[i + 1] AS bigram
 FROM toks, unnest(range(1, len(t))) AS u(i)
 """
+
+
+# --- A21/A22: continuous-crawl scheduling twins ------------------------------------
+
+RECRAWL_DEFAULT_GAP_SEC = 86400  # pages fetched once: assume daily change
+RECRAWL_TOP_K = 100
+
+
+def q_recrawl_schedule(spark, sf):
+    """A22 twin: freshness-driven recrawl scheduling (Cho &
+    Garcia-Molina 2003, "Effective Page Refresh Policies for Web
+    Crawlers").  ``events`` stands in for a fetch history — page :=
+    ``user_id``, each event one observed fetch.  Per page the change
+    interval is estimated from the observed history (the telescoped
+    mean gap ``(last-first)/(n-1)``), staleness = age-at-horizon over
+    that interval (integer-quantized x1000 — no float ordering), and
+    the top-k stalest pages form the next refresh batch.
+
+    Scale shape (10^10-URL frontier): one hash-agg on the page key
+    (uniform, no skew), the crawl horizon is a 1-row broadcast join,
+    and the batch cut is orderBy().limit(k) — TakeOrdered's
+    per-partition heaps + an O(k) driver merge, never a global sort."""
+    ts = F.unix_timestamp("ts")
+    per = (
+        ld(spark, sf, "events")
+        .select(F.col("user_id").alias("page_id"), ts.alias("e"))
+        .groupBy("page_id")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.min("e").alias("first_epoch"),
+            F.max("e").alias("last_epoch"),
+        )
+    )
+    horizon = per.agg(F.max("last_epoch").alias("horizon"))
+    gap = F.when(
+        F.col("n_fetches") > 1,
+        F.greatest(
+            F.expr("(last_epoch - first_epoch) div (n_fetches - 1)"), F.lit(1)
+        ),
+    ).otherwise(F.lit(RECRAWL_DEFAULT_GAP_SEC))
+    return (
+        per.crossJoin(F.broadcast(horizon))
+        .withColumn("gap_sec", gap)
+        .withColumn(
+            "staleness_q",
+            F.expr("((horizon - last_epoch) * 1000) div gap_sec"),
+        )
+        .orderBy(F.col("staleness_q").desc(), "page_id")
+        .limit(RECRAWL_TOP_K)
+        .select("page_id", "n_fetches", "last_epoch", "gap_sec", "staleness_q")
+    )
+
+
+SQL_RECRAWL = f"""
+WITH per AS (
+  SELECT user_id AS page_id, count(*) AS n_fetches,
+         min(floor(epoch(ts))::BIGINT) AS first_epoch,
+         max(floor(epoch(ts))::BIGINT) AS last_epoch
+  FROM events GROUP BY user_id),
+h AS (SELECT max(last_epoch) AS horizon FROM per),
+s AS (
+  SELECT page_id, n_fetches, last_epoch,
+         CASE WHEN n_fetches > 1
+              THEN greatest((last_epoch - first_epoch) // (n_fetches - 1), 1)
+              ELSE {RECRAWL_DEFAULT_GAP_SEC} END AS gap_sec,
+         horizon
+  FROM per, h)
+SELECT page_id, n_fetches, last_epoch, gap_sec,
+       ((horizon - last_epoch) * 1000) // gap_sec AS staleness_q
+FROM s
+ORDER BY staleness_q DESC, page_id
+LIMIT {RECRAWL_TOP_K}
+"""
+
+
+def q_sitemap_frontier(spark, sf):
+    """A21 twin: sitemap ingestion — the standard seed/refresh source a
+    production crawler reads before touching HTML (sitemaps.org
+    protocol).  Deterministic fixture: one urlset per ``source`` built
+    from the documents table (loc + lastmod + changefreq per doc, in
+    doc_id order), then PARSED back into frontier rows with pure regexp
+    expressions and classified into page-type priority (brewery 3 >
+    beer 2 > review 1 — the A6 ordering).  Generation and parsing are
+    independent code paths in both engines, so the hash check verifies
+    the parser, not the template.
+
+    Scale shape: sitemaps are per-host documents (small), parse is one
+    codegen map pass + explode; nothing shuffles except the final
+    per-host concat fixture (absent in production, where the XML
+    arrives as fetched pages)."""
+    d = ld(spark, sf, "documents").select("doc_id", "source")
+    ptype = (
+        F.when(F.col("doc_id") % 3 == 0, "brewery")
+        .when(F.col("doc_id") % 3 == 1, "beer")
+        .otherwise("review")
+    )
+    lastmod = F.date_add(F.lit("2024-01-01").cast("date"),
+                         F.pmod(F.col("doc_id"), F.lit(365)).cast("int"))
+    freq = F.when(F.col("doc_id") % 2 == 0, "daily").otherwise("weekly")
+    frag = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example/"),
+        ptype, F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>"), lastmod.cast("string"),
+        F.lit("</lastmod><changefreq>"), freq, F.lit("</changefreq></url>"),
+    )
+    sitemaps = (
+        d.select("source", "doc_id", frag.alias("frag"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                        lambda s: s.frag,
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    entries = sitemaps.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all("xml", F.lit(r"<url>(.*?)</url>"), F.lit(1))
+        ).alias("entry"),
+    )
+    url = F.regexp_extract("entry", r"<loc>([^<]*)</loc>", 1)
+    return entries.select(
+        "source",
+        url.alias("url"),
+        F.regexp_extract("entry", r"<lastmod>([^<]*)</lastmod>", 1).alias("lastmod"),
+        F.regexp_extract("entry", r"<changefreq>([^<]*)</changefreq>", 1).alias("changefreq"),
+        F.when(url.rlike(r"\.example/brewery/"), 3)
+        .when(url.rlike(r"\.example/beer/"), 2)
+        .otherwise(1)
+        .alias("priority"),
+    )
+
+
+SQL_SITEMAP = """
+WITH frags AS (
+  SELECT source, doc_id,
+         '<url><loc>https://' || source || '.example/'
+         || CASE WHEN doc_id % 3 = 0 THEN 'brewery'
+                 WHEN doc_id % 3 = 1 THEN 'beer' ELSE 'review' END
+         || '/' || doc_id
+         || '</loc><lastmod>' || (DATE '2024-01-01' + (doc_id % 365)::INT)::VARCHAR
+         || '</lastmod><changefreq>'
+         || CASE WHEN doc_id % 2 = 0 THEN 'daily' ELSE 'weekly' END
+         || '</changefreq></url>' AS frag
+  FROM documents),
+maps AS (
+  SELECT source,
+         '<?xml version="1.0"?><urlset>'
+         || string_agg(frag, '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM frags GROUP BY source),
+entries AS (
+  SELECT source, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS entry
+  FROM maps)
+SELECT source,
+       regexp_extract(entry, '<loc>([^<]*)</loc>', 1) AS url,
+       regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+       regexp_extract(entry, '<changefreq>([^<]*)</changefreq>', 1) AS changefreq,
+       CASE WHEN regexp_matches(entry, '\\.example/brewery/') THEN 3
+            WHEN regexp_matches(entry, '\\.example/beer/') THEN 2
+            ELSE 1 END AS priority
+FROM entries
+"""

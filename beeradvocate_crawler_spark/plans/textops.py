@@ -1486,6 +1486,140 @@ WHERE grams.doc_id % 97 != 0
 GROUP BY grams.doc_id
 """
 
+# --- D23: end-to-end corpus assembly pipeline --------------------------------------
+
+PIPELINE_QUALITY_MIN_Q3 = 15000  # sum of 3 quantized [0,10000] components >= avg 0.5
+
+
+def q_corpus_pipeline(spark, sf):
+    """D23: the CCNet/Dolma-shaped END-TO-END assembly a training-data
+    pipeline actually ships, composed from this engine's own stages:
+    lang-id -> quality gate -> exact dedup -> benchmark decontamination
+    -> hash split, reduced to per-(split, pred_lang) corpus stats.
+    Each stage is individually hash-green elsewhere (D10, D11, D1, D19,
+    D16); this entry proves the COMPOSITION stays deterministic and
+    cross-engine exact.
+
+    Numeric design: the quality gate runs on integer-quantized
+    components (len_sat is exactly ``least(100*n_tok, 10000)``; ttr and
+    alpha-ratio are ``round(10000*a/b)`` of exact integer ratios — the
+    same IEEE divide in both engines) so the >= threshold can't flip on
+    a float last-ulp, unlike gating on the rounded float score.
+
+    Scale shape (100 TB): one scan computes lang+quality map-side
+    (codegen, no shuffle); dedup is one hash-agg on md5(text) + keep
+    min doc_id (hash keys -> no skew); decontamination probes a
+    BROADCAST benchmark n-gram set so the corpus side never shuffles;
+    the split is a pure map; the final stats agg is low-cardinality
+    with map-side partials.  No stage is quadratic in documents."""
+    u = _docs_with_copies(spark, sf).transform(_spread)
+    lower = F.lower(F.col("text"))
+    cnt = {
+        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0)))
+        for lang, pat in _LANG_PATTERNS.items()
+    }
+    pred = (
+        F.when((cnt["en"] >= cnt["de"]) & (cnt["en"] >= cnt["es"]) & (cnt["en"] >= cnt["fr"]) & (cnt["en"] > 0), "en")
+        .when((cnt["de"] >= cnt["es"]) & (cnt["de"] >= cnt["fr"]) & (cnt["de"] > 0), "de")
+        .when((cnt["es"] >= cnt["fr"]) & (cnt["es"] > 0), "es")
+        .when(cnt["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    d = (
+        u.withColumn("toks", tokens_expr(F.col("text")))
+        .withColumn("pred_lang", pred)
+        .withColumn("n_tok", F.size("toks"))
+        .withColumn("len_q", F.least(100 * F.col("n_tok"), F.lit(10000)).cast("long"))
+        .withColumn(
+            "ttr_q",
+            F.round(10000 * F.size(F.array_distinct("toks"))
+                    / F.greatest("n_tok", F.lit(1))).cast("long"),
+        )
+        .withColumn(
+            "alpha_q",
+            F.round(10000 * F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+                    / F.greatest(F.length("text"), F.lit(1))).cast("long"),
+        )
+        .withColumn("quality_q3", F.col("len_q") + F.col("ttr_q") + F.col("alpha_q"))
+        .where(F.col("quality_q3") >= PIPELINE_QUALITY_MIN_Q3)
+    )
+    # exact dedup: keep the lowest doc_id per content hash (one hash-agg
+    # window over md5 keys — uniform, never skewed)
+    wdup = Window.partitionBy(F.md5("text"))
+    d = d.withColumn("_keep", F.min("doc_id").over(wdup)).where(
+        F.col("doc_id") == F.col("_keep")
+    )
+    # decontamination: any doc sharing a word 3-gram with the benchmark
+    # stand-in (doc_id % 97 == 0) is dropped, as are the benchmark docs
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles_expr(F.col("toks")))).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("g").distinct()
+    dirty = (
+        grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    )
+    clean = (
+        d.where(F.col("doc_id") % 97 != 0)
+        .join(dirty, "doc_id", "left_anti")
+    )
+    b = F.pmod(md5h(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        clean.withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+        .groupBy("split", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("quality_q3").alias("sum_quality_q3"),
+        )
+    )
+
+
+SQL_CORPUS_PIPELINE = rf"""
+WITH u AS (SELECT doc_id, text FROM {SQL_DOCS_WITH_COPIES} raw),
+feat AS (
+  SELECT doc_id, text,
+         {SQL_TOKENS_EXPR.format(t='text')} AS toks,
+         CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+              WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+              WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+              WHEN n_fr > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+  FROM (SELECT *,
+          len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["en"]}')) AS n_en,
+          len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["de"]}')) AS n_de,
+          len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["es"]}')) AS n_es,
+          len(regexp_extract_all(lower(text), '{_LANG_PATTERNS["fr"]}')) AS n_fr
+        FROM u) l),
+q AS (
+  SELECT doc_id, text, toks, pred_lang, len(toks) AS n_tok,
+         least(100 * len(toks), 10000)
+         + round(10000.0 * len(list_distinct(toks)) / greatest(len(toks), 1))::BIGINT
+         + round(10000.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / greatest(length(text), 1))::BIGINT AS quality_q3
+  FROM feat),
+gated AS (SELECT * FROM q WHERE quality_q3 >= {PIPELINE_QUALITY_MIN_Q3}),
+kept AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES_EXPR.format(t='toks')}) AS g FROM kept),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)),
+clean AS (
+  SELECT * FROM kept
+  WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM dirty))
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       pred_lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       sum(quality_q3)::BIGINT AS sum_quality_q3
+FROM (SELECT *, (({SQL_MD5H.format(x="doc_id::VARCHAR")}) % 100 + 100) % 100 AS b
+      FROM clean) c
+GROUP BY 1, 2
+"""
+
+
 # --- structured streaming (S1-S5): windowed aggregation over the events stream --------------
 
 def q_stream_window_counts(spark, sf):
