@@ -83,6 +83,28 @@ def sitemap_index_locs(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
+def sitemap_seed_list(sitemaps: DataFrame, xml_col: str = "xml") -> list[str]:
+    """Driver-side seed list in document order ((sitemap_url, entry
+    position) — the order a sequential crawler reads the file), for
+    plugging straight into ``plans.crawl.run(spark, pages, seeds, …)``:
+    a sitemap-seeded crawl is then exactly a list-seeded crawl.  The
+    collect is bounded by seed-list size (one XML file holds ≤ 50k
+    locs per the protocol), not by corpus size."""
+    rows = (
+        sitemaps.select(
+            F.col("url").alias("s"),
+            F.posexplode(
+                F.regexp_extract_all(F.col(xml_col), F.lit(_URL_ENTRY), F.lit(1))
+            ).alias("i", "entry"),
+        )
+        .select("s", "i", F.regexp_extract("entry", _LOC, 1).alias("loc"))
+        .where(F.col("loc") != "")
+        .orderBy("s", "i")
+        .collect()
+    )
+    return [r.loc for r in rows]
+
+
 def seeds_from_sitemaps(sitemaps: DataFrame, rnd: int = 0, xml_col: str = "xml") -> DataFrame:
     """A21 -> A1: urlset entries as canonical FRONTIER_SCHEMA rows at
     depth 0, classified and prioritized exactly like list seeds

@@ -135,3 +135,20 @@ def test_corpus_pipeline_invariants(spark):
         assert r.n_tokens > 0
         # quality gate: surviving docs average >= 0.5 on the 3x10000 scale
         assert r.sum_quality_q3 >= 15000 * r.n_docs
+
+
+def test_sitemap_seed_list_roundtrips_the_crawl_seeds(spark):
+    """The driver-side seed-list extraction preserves document order, so
+    plans.crawl.run seeded from a sitemap of SEED_URLS is EXACTLY the
+    list-seeded crawl (same list in, same engine path)."""
+    from beeradvocate_crawler_spark.fixtures import site_model as sm
+    from beeradvocate_crawler_spark.operators.sitemap import sitemap_seed_list
+
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc><changefreq>daily</changefreq></url>"
+        for u in sm.SEED_URLS
+    ) + "</urlset>"
+    df = spark.createDataFrame(
+        [("https://www.beeradvocate.com/sitemap.xml", xml)], "url string, xml string"
+    )
+    assert sitemap_seed_list(df) == list(sm.SEED_URLS)
