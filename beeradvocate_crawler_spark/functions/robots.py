@@ -27,6 +27,9 @@ class RobotsRules:
     # (rule_ord, allow, prefix); prefix "" never matches (empty Disallow)
     rules: list[tuple[int, bool, str]] = field(default_factory=list)
     crawl_delay: float = DEFAULT_CRAWL_DELAY
+    # ``Sitemap:`` is a GLOBAL directive (robotstxt.org) — collected
+    # from the whole file regardless of user-agent group; feeds A21
+    sitemaps: list[str] = field(default_factory=list)
 
     def allowed(self, path_query: str) -> bool:
         best_len = -1
@@ -48,6 +51,7 @@ def parse_robots(body: str) -> RobotsRules:
     rules (allow-all if the group is absent or the body is empty)."""
     rules: list[tuple[int, bool, str]] = []
     crawl_delay = DEFAULT_CRAWL_DELAY
+    sitemaps: list[str] = []
     in_star = False
     seen_star_group = False
     ord_ = 0
@@ -70,6 +74,8 @@ def parse_robots(body: str) -> RobotsRules:
                 crawl_delay = float(val)
             except ValueError:
                 pass
+        elif key == "sitemap" and val:
+            sitemaps.append(val)
     if not seen_star_group:
-        return RobotsRules([], DEFAULT_CRAWL_DELAY)
-    return RobotsRules(rules, crawl_delay)
+        return RobotsRules([], DEFAULT_CRAWL_DELAY, sitemaps)
+    return RobotsRules(rules, crawl_delay, sitemaps)

@@ -83,6 +83,24 @@ def sitemap_index_locs(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
+def sitemaps_from_robots(robots_pages: DataFrame, body_col: str = "text") -> DataFrame:
+    """(host, sitemap_url) rows from ``Sitemap:`` directives in fetched
+    robots.txt bodies — the discovery path that makes A10 feed A21
+    (Sitemap is a GLOBAL robots directive, user-agent-independent).
+    One JVM regexp pass per body; twin of functions/robots.parse_robots
+    ``sitemaps`` (equality pinned in tests/test_sitemap_recrawl.py)."""
+    return robots_pages.select(
+        host_expr(F.col("url")).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(body_col),
+                F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t]*$"),
+                F.lit(1),
+            )
+        ).alias("sitemap_url"),
+    )
+
+
 def sitemap_seed_list(sitemaps: DataFrame, xml_col: str = "xml") -> list[str]:
     """Driver-side seed list in document order ((sitemap_url, entry
     position) — the order a sequential crawler reads the file), for

@@ -152,3 +152,39 @@ def test_sitemap_seed_list_roundtrips_the_crawl_seeds(spark):
         [("https://www.beeradvocate.com/sitemap.xml", xml)], "url string, xml string"
     )
     assert sitemap_seed_list(df) == list(sm.SEED_URLS)
+
+
+ROBOTS_BODY = """# robots for ba
+User-agent: googlebot
+Disallow: /private/
+
+Sitemap: https://www.beeradvocate.com/sitemap-index.xml
+User-agent: *
+Crawl-delay: 2
+Disallow: /community/
+sitemap: https://www.beeradvocate.com/sitemap-extra.xml
+"""
+
+
+def test_robots_sitemap_directive_pure_and_spark_agree(spark):
+    """Sitemap: is a GLOBAL robots directive — collected from any group
+    position, case-insensitively, by both the pure parser and the
+    JVM-regexp extractor."""
+    from beeradvocate_crawler_spark.functions.robots import parse_robots
+    from beeradvocate_crawler_spark.operators.sitemap import sitemaps_from_robots
+
+    want = [
+        "https://www.beeradvocate.com/sitemap-index.xml",
+        "https://www.beeradvocate.com/sitemap-extra.xml",
+    ]
+    rules = parse_robots(ROBOTS_BODY)
+    assert rules.sitemaps == want
+    assert rules.crawl_delay == 2.0  # star group still parsed normally
+
+    df = spark.createDataFrame(
+        [("https://www.beeradvocate.com/robots.txt", ROBOTS_BODY)],
+        "url string, text string",
+    )
+    rows = sitemaps_from_robots(df).collect()
+    assert [r.sitemap_url for r in rows] == want
+    assert all(r.host == "www.beeradvocate.com" for r in rows)
