@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": R.q_recrawl_schedule,
         "sitemap_frontier": R.q_sitemap_frontier,
         "corpus_pipeline": X.q_corpus_pipeline,
+        "hits_links": G.q_hits_links,
+        "seed_distance": G.q_seed_distance,
     }
 
 
@@ -215,4 +217,6 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": R.SQL_RECRAWL,
         "sitemap_frontier": R.SQL_SITEMAP,
         "corpus_pipeline": X.SQL_CORPUS_PIPELINE,
+        "hits_links": G.SQL_HITS,
+        "seed_distance": G.SQL_SEED_DISTANCE,
     }

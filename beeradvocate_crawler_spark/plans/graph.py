@@ -42,13 +42,13 @@ _INIT = 1_000_000  # micro-units of rank mass per node
 _KEEP = 150_000    # teleport floor: (1 - 0.85) * _INIT
 
 
-def _edges(spark, sf):
-    """Symmetrized customer↔supplier edge list (distinct), namespaced
-    node ids ('c…'/'s…').  Symmetrization guarantees outdeg ≥ 1 and
-    in-edges for every node — no dangling-mass bookkeeping."""
+def _fwd_edges(spark, sf):
+    """Directed customer→supplier edge list (distinct), namespaced node
+    ids ('c…'/'s…') — the in-sandbox stand-in for the crawl's url→url
+    link graph."""
     li = ld(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     od = ld(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    fwd = (
+    return (
         li.join(od, li["l_orderkey"] == od["o_orderkey"])
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
@@ -56,6 +56,13 @@ def _edges(spark, sf):
         )
         .distinct()
     )
+
+
+def _edges(spark, sf):
+    """Symmetrized customer↔supplier edge list (distinct), namespaced
+    node ids ('c…'/'s…').  Symmetrization guarantees outdeg ≥ 1 and
+    in-edges for every node — no dangling-mass bookkeeping."""
+    fwd = _fwd_edges(spark, sf)
     return fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -131,3 +138,196 @@ SELECT src AS node, pr,
 FROM pr{_ITERS} ORDER BY pr DESC, node LIMIT 20
 """
 )
+
+
+# --- G2: integer fixed-point HITS ------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1_000_000  # L-infinity renormalization target per half-sweep
+
+
+def _topk_ranked(df, kind: str, score_col: str, node_col: str, k: int = 10):
+    ranked = (
+        df.orderBy(F.col(score_col).desc(), F.col(node_col))
+        .limit(k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col(score_col).desc(), F.col(node_col))
+            ),
+        )
+    )
+    return ranked.select(
+        F.lit(kind).alias("kind"),
+        F.col(node_col).alias("node"),
+        F.col(score_col).cast("long").alias("score"),
+        "rnk",
+    )
+
+
+def q_hits_links(spark, sf):
+    """G2: HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    customer→supplier graph — the second classic scheduler signal next
+    to PageRank (a hub page's out-links are high-value fetches even
+    when the hub itself isn't).  Returns top-10 authorities + top-10
+    hubs with ranks.
+
+    Cross-engine exactness: float HITS normalizes by an L2 norm —
+    unreproducible across engines.  Here each half-sweep renormalizes
+    by the CURRENT MAX via integer arithmetic, ``score * 1_000_000 div
+    max(score)`` — the L∞-normalized power iteration, exact in any
+    engine.  Bound: raw sums ≤ n_nodes · 1e6, so the ·1e6 product stays
+    under 2^63 through ~1e6-customer graphs; beyond that the scale
+    constant drops (documented, not load-bearing for ranking).
+
+    Scale shape: each half-sweep is one shuffle join of the score
+    vector against the persisted edge list + one hash-agg; the
+    renormalizing max is a scalar global agg broadcast back — O(1)
+    rows moved.  Same exchange-reuse story as PageRank; nothing
+    all-pairs."""
+    from .textops import _scoped_local_checkpoint
+
+    fwd = _scoped_persist(_fwd_edges(spark, sf).repartition("src"))
+    hub = fwd.select("src").distinct().select(
+        "src", F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        # each raw half-sweep is BRANCHED (feeds its own max AND the
+        # normalize): without the eager checkpoint Catalyst recomputes
+        # the whole upstream once per branch per level — 2^(2·iters)
+        # blowup (measured 20.7 s vs 2.4 s at sf0.01).  The renorm max
+        # is a bounded driver collect: ONE row, the sanctioned scalar
+        # pattern (same as crawl.py's per-round aggregates).
+        araw = _scoped_local_checkpoint(
+            fwd.join(hub, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        amax = araw.agg(F.max("a")).collect()[0][0]
+        auth = araw.select("dst", F.expr(f"a * {_HITS_SCALE} div {amax}").alias("a"))
+        hraw = _scoped_local_checkpoint(
+            fwd.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        hmax = hraw.agg(F.max("h")).collect()[0][0]
+        hub = hraw.select("src", F.expr(f"h * {_HITS_SCALE} div {hmax}").alias("h"))
+    return _topk_ranked(auth, "auth", "a", "dst").unionByName(
+        _topk_ranked(hub, "hub", "h", "src")
+    )
+
+
+def _sql_hits() -> str:
+    fwd = (
+        "SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src, "
+        "'s' || l_suppkey::VARCHAR AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    parts = [f"WITH fwd AS ({fwd})",
+             ", hub0 AS (SELECT DISTINCT src, "
+             f"{_HITS_SCALE}::BIGINT AS h FROM fwd)"]
+    for i in range(_HITS_ITERS):
+        parts.append(f"""
+, auth{i + 1}r AS (
+    SELECT dst, sum(h)::BIGINT AS a FROM fwd JOIN hub{i} USING (src) GROUP BY dst)
+, auth{i + 1} AS (
+    SELECT dst, (a * {_HITS_SCALE} // (SELECT max(a) FROM auth{i + 1}r))::BIGINT AS a
+    FROM auth{i + 1}r)
+, hub{i + 1}r AS (
+    SELECT src, sum(a)::BIGINT AS h FROM fwd JOIN auth{i + 1} USING (dst) GROUP BY src)
+, hub{i + 1} AS (
+    SELECT src, (h * {_HITS_SCALE} // (SELECT max(h) FROM hub{i + 1}r))::BIGINT AS h
+    FROM hub{i + 1}r)""")
+    n = _HITS_ITERS
+    parts.append(f"""
+SELECT * FROM (
+  SELECT 'auth' AS kind, dst AS node, a AS score,
+         row_number() OVER (ORDER BY a DESC, dst) AS rnk
+  FROM auth{n} ORDER BY a DESC, dst LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS kind, src AS node, h AS score,
+         row_number() OVER (ORDER BY h DESC, src) AS rnk
+  FROM hub{n} ORDER BY h DESC, src LIMIT 10)""")
+    return "".join(parts)
+
+
+SQL_HITS = _sql_hits()
+
+
+# --- G3: BFS seed distance (crawl depth at graph scale) --------------------------
+
+_BFS_SWEEPS = 3
+_BFS_SEEDS = ("c1", "c2", "c3")
+
+
+def q_seed_distance(spark, sf):
+    """G3: min-hop distance from a fixed seed set over the symmetrized
+    link graph, capped at {sweeps} hops — the frontier's crawl-depth
+    signal (A9's min-depth discovery merge IS one BFS sweep; this runs
+    the whole BFS as an offline analytic, the thing you compute to
+    audit how deep a seed list actually reaches).  Result: per-depth
+    node count + min/max node id (bounded rows, hash-checkable).
+
+    Scale shape: each sweep is one shuffle join of the O(reached)
+    distance vector against the edge list + a partial-aggregated
+    group-min — BFS as |diameter| distributed passes, never
+    materializing paths.  Sweep tables are eagerly localCheckpoint'd
+    (lineage cut — same rationale as connected_components_min_label,
+    released by release_caches())."""
+    from .textops import _scoped_local_checkpoint
+
+    both = _scoped_persist(_edges(spark, sf).repartition("src"))
+    d = (
+        both.select("src").distinct()
+        .where(F.col("src").isin(*_BFS_SEEDS))
+        .select(F.col("src").alias("node"), F.lit(0).cast("int").alias("dist"))
+    )
+    for _ in range(_BFS_SWEEPS):
+        nbr = (
+            both.join(d, both.src == d.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        d = _scoped_local_checkpoint(
+            d.unionByName(nbr).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+q_seed_distance.__doc__ = q_seed_distance.__doc__.format(sweeps=_BFS_SWEEPS)
+
+
+def _sql_seed_distance() -> str:
+    seeds = ", ".join(f"'{s}'" for s in _BFS_SEEDS)
+    parts = [
+        "WITH fwd AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src, "
+        "'s' || l_suppkey::VARCHAR AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        ", edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)",
+        f", d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM edges "
+        f"WHERE src IN ({seeds}))",
+    ]
+    for i in range(_BFS_SWEEPS):
+        parts.append(f"""
+, d{i + 1} AS (
+    SELECT node, min(dist) AS dist FROM (
+      SELECT node, dist FROM d{i}
+      UNION ALL
+      SELECT e.dst AS node, p.dist + 1 AS dist
+      FROM edges e JOIN d{i} p ON e.src = p.node) GROUP BY node)""")
+    parts.append(f"""
+SELECT dist, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+FROM d{_BFS_SWEEPS} GROUP BY dist ORDER BY dist""")
+    return "".join(parts)
+
+
+SQL_SEED_DISTANCE = _sql_seed_distance()

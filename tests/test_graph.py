@@ -64,3 +64,83 @@ def test_integer_pagerank_matches_pure_twin(spark):
     assert [r["rnk"] for r in out] == list(range(1, 21))
     masses = [r["pr"] for r in out]
     assert masses == sorted(masses, reverse=True)
+
+
+def _pure_hits(edges: list[tuple[str, str]], iters: int, scale: int):
+    hub = {s: scale for s, _ in edges}
+    auth: dict[str, int] = {}
+    for _ in range(iters):
+        auth = {}
+        for s, d in edges:
+            auth[d] = auth.get(d, 0) + hub[s]
+        m = max(auth.values())
+        auth = {d: (v * scale) // m for d, v in auth.items()}
+        hub = {}
+        for s, d in edges:
+            hub[s] = hub.get(s, 0) + auth[d]
+        m = max(hub.values())
+        hub = {s: (v * scale) // m for s, v in hub.items()}
+    return hub, auth
+
+
+def test_integer_hits_matches_pure_twin(spark):
+    """The registered HITS query's scores on the real sf0.001 graph
+    must match the pure recurrence run on the same collected edge
+    list — catches any Spark-side renormalization or join drift."""
+    from beeradvocate_crawler_spark.plans import graph as G
+    from beeradvocate_crawler_spark.plans.textops import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        edges = [(r["src"], r["dst"]) for r in G._fwd_edges(spark, sf).collect()]
+        hub, auth = _pure_hits(edges, G._HITS_ITERS, G._HITS_SCALE)
+        got = G.q_hits_links(spark, sf).collect()
+    finally:
+        release_caches()
+    assert len(got) == 20
+    for r in got:
+        want = auth if r["kind"] == "auth" else hub
+        assert want[r["node"]] == r["score"], r
+    # ranks well-formed per kind, scores descending
+    for kind in ("auth", "hub"):
+        rows = [r for r in got if r["kind"] == kind]
+        assert [r["rnk"] for r in rows] == list(range(1, 11))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # the top of each list is the renormalization fixpoint: score == scale
+    assert max(r["score"] for r in got) == G._HITS_SCALE
+
+
+def test_seed_distance_matches_pure_bfs(spark):
+    """Capped BFS distances on the real sf0.001 graph vs a pure-Python
+    BFS over the same collected (symmetrized) edges."""
+    from beeradvocate_crawler_spark.plans import graph as G
+    from beeradvocate_crawler_spark.plans.textops import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        fwd = [(r["src"], r["dst"]) for r in G._fwd_edges(spark, sf).collect()]
+        got = {r["dist"]: (r["n_nodes"], r["min_node"], r["max_node"])
+               for r in G.q_seed_distance(spark, sf).collect()}
+    finally:
+        release_caches()
+    adj: dict[str, set] = {}
+    for s, d in fwd:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in G._BFS_SEEDS if s in adj}
+    frontier = list(dist)
+    for depth in range(1, G._BFS_SWEEPS + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = depth
+                    nxt.append(m)
+        frontier = nxt
+    want: dict[int, list] = {}
+    for n, d in dist.items():
+        want.setdefault(d, []).append(n)
+    assert got == {
+        d: (len(ns), min(ns), max(ns)) for d, ns in want.items()
+    }
