@@ -561,16 +561,17 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                # per-row change flag computed IN the sweep pass: the
+                # fixpoint probe is then one map-side partial agg over
+                # the checkpointed table instead of an old⋈new shuffle
+                # join per sweep (and stays type-agnostic — labels may
+                # be strings)
+                F.when(F.col("nbr_lbl") < F.col("lbl"), 1).otherwise(0).alias("chg"),
             )
         )
         new_labels = _scoped_local_checkpoint(new_labels)  # eager: materializes AND cuts lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected components did not converge in {max_iter} sweeps")
