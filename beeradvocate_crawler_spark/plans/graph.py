@@ -205,6 +205,9 @@ def q_hits_links(spark, sf):
             .agg(F.sum("h").cast("long").alias("a"))
         )
         amax = araw.agg(F.max("a")).collect()[0][0]
+        if not amax:  # None/0 on an empty edge list — bail before the
+            # literal ends up string-interpolated into F.expr as "div None"
+            raise ValueError("HITS: empty or zero-mass edge list")
         auth = araw.select("dst", F.expr(f"a * {_HITS_SCALE} div {amax}").alias("a"))
         hraw = _scoped_local_checkpoint(
             fwd.join(auth, "dst")
@@ -212,6 +215,8 @@ def q_hits_links(spark, sf):
             .agg(F.sum("a").cast("long").alias("h"))
         )
         hmax = hraw.agg(F.max("h")).collect()[0][0]
+        if not hmax:
+            raise ValueError("HITS: empty or zero-mass edge list")
         hub = hraw.select("src", F.expr(f"h * {_HITS_SCALE} div {hmax}").alias("h"))
     return _topk_ranked(auth, "auth", "a", "dst").unionByName(
         _topk_ranked(hub, "hub", "h", "src")
@@ -264,7 +269,7 @@ _BFS_SEEDS = ("c1", "c2", "c3")
 
 def q_seed_distance(spark, sf):
     """G3: min-hop distance from a fixed seed set over the symmetrized
-    link graph, capped at {sweeps} hops — the frontier's crawl-depth
+    link graph, capped at _BFS_SWEEPS (3) hops — the frontier's crawl-depth
     signal (A9's min-depth discovery merge IS one BFS sweep; this runs
     the whole BFS as an offline analytic, the thing you compute to
     audit how deep a seed list actually reaches).  Result: per-depth
@@ -301,9 +306,6 @@ def q_seed_distance(spark, sf):
         )
         .orderBy("dist")
     )
-
-
-q_seed_distance.__doc__ = q_seed_distance.__doc__.format(sweeps=_BFS_SWEEPS)
 
 
 def _sql_seed_distance() -> str:

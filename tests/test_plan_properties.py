@@ -182,3 +182,29 @@ class TestCacheHygiene:
             assert not leaked, (
                 f"{fn.__name__}: RDD ids {sorted(leaked)} still persisted "
                 f"after release_caches()")
+
+
+def test_tfidf_n_docs_from_footer_stats_not_a_count_job(spark):
+    """VERDICT round-3 what's-wrong #3: q_tfidf_top_terms used to pay a
+    separate d.count() job (a second full scan of documents) for N.  N
+    must now come from the parquet footer metadata — build the query
+    with DataFrame.count monkey-patched to raise and verify (a) the
+    plan builds, (b) the footer lookup equals the true count."""
+    from pyspark.sql import DataFrame
+
+    from beeradvocate_crawler_spark.plans.textops import (
+        q_tfidf_top_terms,
+        table_rows,
+    )
+
+    true_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert table_rows(SF_DIR, "documents") == true_n
+
+    orig = DataFrame.count
+    DataFrame.count = lambda self: (_ for _ in ()).throw(
+        AssertionError("q_tfidf_top_terms ran a count() job for N_docs"))
+    try:
+        df = q_tfidf_top_terms(spark, SF_DIR)
+    finally:
+        DataFrame.count = orig
+    assert df.limit(1).collect() is not None

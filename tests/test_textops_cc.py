@@ -39,3 +39,11 @@ def test_cc_chain_converges_to_min(spark):
 def test_cc_separate_components_stay_separate(spark):
     labels = _labels(spark, [(1, 2), (10, 11), (11, 12)])
     assert labels == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cc_empty_edge_set_converges_immediately(spark):
+    """ADVICE round-3: F.sum('chg') over an EMPTY labels table collects
+    as None; the coalesced change flag must read that as converged (no
+    sweeps burned, no RuntimeError), returning an empty label set."""
+    labels = _labels(spark, [])
+    assert labels == {}
