@@ -114,15 +114,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": X.q_dedup_exact,
         "ngram_jaccard_pairs": X.q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": X.q_minhash_lsh_dedup,
-        "near_dup_keep": X.q_near_dup_keep,
-        "near_dup_keep_cc": X.q_near_dup_keep_cc,
+        # D3+D3b folded into one signed slot (round-4: freed slot ->
+        # crawl_scheduling; individual variants stay past the cap)
+        "near_dup_keep_sets": X.q_near_dup_keep_sets,
         "simhash": X.q_simhash,
-        # D6+D8 folded into one signed slot (freed slot -> pagerank)
+        # D6+D8 folded into one signed slot
         "ann_exact_ivf": X.q_ann_exact_ivf,
-        "pagerank_links": G.q_pagerank_links,
+        # G1+G2+G3 folded into one signed slot (round-4: signs HITS+BFS)
+        "graph_signals": G.q_graph_signals,
         "embedding_neardup": X.q_embedding_neardup,
-        "lang_id": X.q_lang_id,
-        "quality_score": X.q_quality_score,
+        # D10+D11 joined on one signed slot (freed slot -> corpus_pipeline)
+        "lang_quality": X.q_lang_quality,
         "doc_fingerprint": X.q_doc_fingerprint,
         "token_count_bpe": X.q_token_count_bpe,
         "multimodal_meta": X.q_multimodal_meta,
@@ -134,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D22 exact long-span duplication (slot freed by folding the
         # C22 math aggregates into tpch_q1's lineitem groupBy)
         "substring_dup": X.q_substring_dup,
+        # A21+A22 folded onto the grid (round-4)
+        "crawl_scheduling": R.q_crawl_scheduling,
+        # D23 end-to-end pipeline composition, on-grid (round-4)
+        "corpus_pipeline": X.q_corpus_pipeline,
         # structured streaming (position 50 — last signed slot)
         "stream_window_counts": X.q_stream_window_counts,
         # past the driver's 50-entry cap: the sanctioned rows-only
@@ -143,14 +149,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_xxhash64": R.q_hash_xxhash64,
         "ann_lsh_cosine": X.q_ann_lsh_cosine,
         "ann_ivf_trained": X.q_ann_ivf_trained,
-        # round-3 ADDITIVE ops (families already signed above; these
-        # extras carry full oracle twins, hash-verified by the local
-        # harness scripts/check_queries.py since the grid is full)
-        "recrawl_schedule": R.q_recrawl_schedule,
-        "sitemap_frontier": R.q_sitemap_frontier,
-        "corpus_pipeline": X.q_corpus_pipeline,
+        # the individual ops whose FAMILIES ride the consolidated
+        # signed slots above — full oracle twins, hash-verified by the
+        # local harness scripts/check_queries.py
+        "near_dup_keep": X.q_near_dup_keep,
+        "near_dup_keep_cc": X.q_near_dup_keep_cc,
+        "lang_id": X.q_lang_id,
+        "quality_score": X.q_quality_score,
+        "pagerank_links": G.q_pagerank_links,
         "hits_links": G.q_hits_links,
         "seed_distance": G.q_seed_distance,
+        "recrawl_schedule": R.q_recrawl_schedule,
+        "sitemap_frontier": R.q_sitemap_frontier,
     }
 
 
@@ -194,14 +204,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": X.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": X.SQL_NGRAM_JACCARD,
         "minhash_lsh_dedup": X.SQL_MINHASH_LSH,
+        "near_dup_keep_sets": X.SQL_NEAR_DUP_KEEP_SETS,
         "near_dup_keep": X.SQL_NEAR_DUP_KEEP,
         "near_dup_keep_cc": X.SQL_NEAR_DUP_KEEP_CC,
         "simhash": X.SQL_SIMHASH,
         # ann_lsh_cosine / ann_ivf_trained: approximate/float-trained by
         # construction -> rows-only
         "ann_exact_ivf": X.SQL_ANN_EXACT_IVF,
+        "graph_signals": G.SQL_GRAPH_SIGNALS,
         "pagerank_links": G.SQL_PAGERANK,
         "embedding_neardup": X.SQL_EMBEDDING_NEARDUP,
+        "lang_quality": X.SQL_LANG_QUALITY,
         "lang_id": X.SQL_LANG_ID,
         "quality_score": X.SQL_QUALITY,
         "doc_fingerprint": X.SQL_FINGERPRINT,
@@ -214,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": X.SQL_REPETITION,
         "tfidf_top_terms": X.SQL_TFIDF,
         "stream_window_counts": X.SQL_STREAM_WINDOW,
+        "crawl_scheduling": R.SQL_CRAWL_SCHEDULING,
         "recrawl_schedule": R.SQL_RECRAWL,
         "sitemap_frontier": R.SQL_SITEMAP,
         "corpus_pipeline": X.SQL_CORPUS_PIPELINE,

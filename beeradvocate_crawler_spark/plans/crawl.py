@@ -196,12 +196,22 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     rounds_done = 0
     carry: _Carry | None = None
     ex = ThreadPoolExecutor(max_workers=1)  # ordered background commits
+    # early-write pool: ledger + terminal-log rows are fully determined
+    # right after decide/rank, so their (constant-heavy: job launch,
+    # output-commit renames, manifest fsync) write latency hides under
+    # the round's dominant fetch+parse phase instead of landing on the
+    # round-end serial tail — measured ~12 s/heavy-round of
+    # parallelism-independent write cost at local[4] (prof r5/r6),
+    # which is exactly the Amdahl term the north rule's N->4N
+    # efficiency criterion punishes.
+    ex_early = ThreadPoolExecutor(max_workers=1)
     try:
         while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
             rnd += 1
             t0 = time.time()
             progressed, next_rank, n_hosts_ub, carry = _run_round(
-                spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex
+                spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex,
+                ex_early,
             )
             _prof(rnd, t0, "round end")
             rounds_done += 1
@@ -222,6 +232,7 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
                 pass  # the original in-round exception is the signal
             _unpersist_all(_carry_dfs(carry))
         ex.shutdown(wait=True)
+        ex_early.shutdown(wait=True)
         if cfg.cache_pages:
             pages.unpersist()
     return cat
@@ -236,7 +247,7 @@ def _prof(rnd, t0, label):
 
 
 def _run_round(
-    spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex
+    spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex, ex_early
 ) -> tuple[bool, int, int | None, "_Carry | None"]:
     if carry is not None:
         # pipelined round: decide consumes the previous round's
@@ -386,6 +397,20 @@ def _run_round(
     # possible consumer — they retire in the NEXT background commit.)
     _join_commit(carry)
     _prof(rnd, t0, "prev commit joined")
+    # EARLY WRITES: the ledger (ranked is final) and the terminal log
+    # (decided is final) are staged NOW so their write jobs + commit
+    # constants overlap the dominant fetch+parse phase below rather
+    # than the round-end tail; the snapshot protocol is untouched —
+    # these are staged files for THIS round, joined before commit_round
+    # (early_fut.result() in both commit paths), so commits stay
+    # all-or-nothing and ordered.
+    early_writes = [
+        lambda: cat.write_round("crawl_order", ledger, rnd, DELTA,
+                                n_rows=n_admitted),
+        lambda: cat.write_round("frontier_log", terminal, rnd, DELTA,
+                                n_rows=n_blocked + n_admitted),
+    ]
+    early_fut = ex_early.submit(_write_all, early_writes)
     cat.write_round("parsed", parse_fetched(fetched), rnd, DELTA,
                     n_rows=n_admitted)
     _prof(rnd, t0, "fetch+parse+write done")
@@ -555,13 +580,9 @@ def _run_round(
         lambda: cat.write_round("frontier", pending_next, rnd, REPLACE,
                                 skip_if_empty=False,
                                 n_rows=n_pending_after - n_admitted + n_new),
-        lambda: cat.write_round("frontier_log", terminal, rnd, DELTA,
-                                n_rows=n_blocked + n_admitted),
         lambda: cat.write_round("host_state", hs2, rnd, REPLACE,
                                 skip_if_empty=False),
         lambda: cat.write_round("seen", seen_delta, rnd, DELTA, n_rows=n_new),
-        lambda: cat.write_round("crawl_order", ledger, rnd, DELTA,
-                                n_rows=n_admitted),
         lambda: cat.write_round("round_metrics", stats, rnd, DELTA,
                                 skip_if_empty=False),
     ]
@@ -594,6 +615,7 @@ def _run_round(
         # decide consumes it — no carry, synchronous commit (robots
         # rounds are the first few only; losing their overlap is noise)
         _write_all(writes)
+        early_fut.result()
         _prof(rnd, t0, "state writes done")
         cat.commit_round(rnd, lineage=lineage, metrics=metrics)
         _unpersist_all(intermediates + _carry_dfs(carry))
@@ -616,6 +638,7 @@ def _run_round(
 
     def _commit_bg():
         _write_all(writes)
+        early_fut.result()
         _prof(rnd, t0, "state writes done (bg)")
         cat.commit_round(rnd, lineage=lineage, metrics=metrics)
         _unpersist_all(retiring)

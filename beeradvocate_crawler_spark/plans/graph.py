@@ -333,3 +333,160 @@ FROM d{_BFS_SWEEPS} GROUP BY dist ORDER BY dist""")
 
 
 SQL_SEED_DISTANCE = _sql_seed_distance()
+
+
+# --- consolidated signed-grid entry: all three graph signals ---------------------
+
+def q_graph_signals(spark, sf):
+    """Union-tagged consolidation of G1+G2+G3 (PageRank, HITS, BFS seed
+    distance) into ONE driver-signed grid slot — the same pattern
+    textops' ann_exact_ivf uses for D6+D8 (round-3 VERDICT ask #3: the
+    driver hash-signs only the first 50 queries() entries, so every
+    op must ride a signed slot).  Schema normalized to
+    (signal, node, score, rnk); all values from the three ops are
+    preserved verbatim (BFS packs min|max node into ``node``)."""
+    pr = q_pagerank_links(spark, sf).select(
+        F.lit("pagerank").alias("signal"),
+        "node",
+        F.col("pr").cast("long").alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+    ht = q_hits_links(spark, sf).select(
+        F.concat(F.lit("hits_"), F.col("kind")).alias("signal"),
+        "node",
+        F.col("score").cast("long").alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+    bf = q_seed_distance(spark, sf).select(
+        F.lit("bfs").alias("signal"),
+        F.concat_ws("|", "min_node", "max_node").alias("node"),
+        F.col("n_nodes").cast("long").alias("score"),
+        F.col("dist").cast("int").alias("rnk"),
+    )
+    return pr.unionByName(ht).unionByName(bf)
+
+
+SQL_GRAPH_SIGNALS = f"""
+SELECT 'pagerank' AS signal, node, pr::BIGINT AS score, rnk::INT AS rnk
+FROM ({SQL_PAGERANK}) pr_t
+UNION ALL
+SELECT 'hits_' || kind AS signal, node, score::BIGINT AS score, rnk::INT AS rnk
+FROM ({SQL_HITS}) hits_t
+UNION ALL
+SELECT 'bfs' AS signal, min_node || '|' || max_node AS node,
+       n_nodes::BIGINT AS score, dist::INT AS rnk
+FROM ({SQL_SEED_DISTANCE}) bfs_t
+"""
+
+
+# --- production fixpoint modes (round-4 VERDICT ask #6) ---------------------------
+#
+# The grid entries run a FIXED sweep count so their plans (and the
+# driver's oracle SQL) stay static; production runs to convergence.
+# Integer masses make the fixpoint probe exact — but integer division
+# can put the tail into a tiny deterministic oscillation, so the stop
+# rule is max |delta| <= tol_micro (an INTEGER threshold: deterministic
+# across engines/partitionings, unlike float epsilons).  Per-sweep
+# shape is identical to the fixed-sweep grid twins (one join + one
+# hash-agg over the persisted src-partitioned edge list); the probe
+# adds one O(nodes)-vs-O(nodes) join + scalar agg, and each sweep is
+# localCheckpoint'd eagerly — the same lineage-cut discipline the CC
+# loop needed (textops.py: 3.9 -> 48 s/sweep without it).
+
+def pagerank_fixpoint(edges, tol_micro: int = 16, max_sweeps: int = 64):
+    """Iterate integer PageRank until masses are stable within
+    ``tol_micro`` micro-units.  Returns ``(pr_df, n_sweeps)`` where
+    pr_df has (node, pr).  Raises RuntimeError past ``max_sweeps``."""
+    from .textops import _scoped_local_checkpoint, _scoped_persist
+
+    edges0 = _scoped_persist(edges.repartition("src"))
+    deg = edges0.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ej = _scoped_persist(edges0.join(deg, "src").select("src", "dst", "outdeg"))
+    pr = _scoped_local_checkpoint(
+        deg.select("src", F.lit(_INIT).cast("long").alias("pr"))
+    )
+    for sweep in range(1, max_sweeps + 1):
+        new_pr = _scoped_local_checkpoint(
+            ej.join(pr, "src")
+            .select("dst", F.expr("pr * 85 div (100 * outdeg)").alias("c"))
+            .groupBy("dst")
+            .agg((F.lit(_KEEP) + F.sum("c")).cast("long").alias("pr"))
+            .select(F.col("dst").alias("src"), "pr")
+        )
+        # fixpoint probe: rank vectors are O(nodes) << O(edges), so an
+        # old-vs-new join + scalar agg is cheap relative to the sweep
+        delta = (
+            new_pr.alias("n")
+            .join(pr.alias("o"), "src", "full")
+            .agg(
+                F.max(
+                    F.abs(
+                        F.coalesce(F.col("n.pr"), F.lit(0))
+                        - F.coalesce(F.col("o.pr"), F.lit(0))
+                    )
+                ).alias("d")
+            )
+            .collect()[0][0]
+            or 0
+        )
+        pr = new_pr
+        if delta <= tol_micro:
+            return pr.select(F.col("src").alias("node"), "pr"), sweep
+    raise RuntimeError(
+        f"integer PageRank did not reach |delta|<={tol_micro} in {max_sweeps} sweeps"
+    )
+
+
+def hits_fixpoint(fwd_edges, tol_micro: int = 16, max_sweeps: int = 64):
+    """Iterate L∞-renormalized integer HITS until both hub and
+    authority vectors are stable within ``tol_micro``.  Returns
+    ``(auth_df, hub_df, n_sweeps)``."""
+    from .textops import _scoped_local_checkpoint, _scoped_persist
+
+    fwd = _scoped_persist(fwd_edges.repartition("src"))
+    hub = _scoped_local_checkpoint(
+        fwd.select("src").distinct()
+        .select("src", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    )
+    auth = None
+
+    def _renorm(raw, col, scale):
+        mx = raw.agg(F.max(col)).collect()[0][0]
+        if not mx:
+            raise ValueError("HITS: empty or zero-mass edge list")
+        return raw.select(
+            raw.columns[0], F.expr(f"{col} * {scale} div {mx}").alias(col)
+        )
+
+    def _delta(new, old, key, col):
+        if old is None:
+            return None
+        return (
+            new.alias("n").join(old.alias("o"), key, "full")
+            .agg(F.max(F.abs(
+                F.coalesce(F.col(f"n.{col}"), F.lit(0))
+                - F.coalesce(F.col(f"o.{col}"), F.lit(0))
+            )).alias("d"))
+            .collect()[0][0]
+            or 0
+        )
+
+    for sweep in range(1, max_sweeps + 1):
+        araw = _scoped_local_checkpoint(
+            fwd.join(hub, "src").groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+        new_auth = _scoped_local_checkpoint(_renorm(araw, "a", _HITS_SCALE))
+        hraw = _scoped_local_checkpoint(
+            fwd.join(new_auth, "dst").groupBy("src")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        new_hub = _scoped_local_checkpoint(_renorm(hraw, "h", _HITS_SCALE))
+        da = _delta(new_auth, auth, "dst", "a")
+        dh = _delta(new_hub, hub, "src", "h")
+        auth, hub = new_auth, new_hub
+        if da is not None and da <= tol_micro and dh <= tol_micro:
+            return auth, hub, sweep
+    raise RuntimeError(
+        f"integer HITS did not reach |delta|<={tol_micro} in {max_sweeps} sweeps"
+    )

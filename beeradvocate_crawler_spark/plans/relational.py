@@ -1015,3 +1015,38 @@ SELECT source,
             ELSE 1 END AS priority
 FROM entries
 """
+
+
+def q_crawl_scheduling(spark, sf):
+    """A21+A22 on one signed slot (round-4 VERDICT ask #3): sitemap
+    ingestion and freshness-driven recrawl scheduling are the two
+    frontier-feeding schedulers; union-tagged by ``op`` with every
+    column of both ops preserved (sitemap packs source|lastmod into
+    ``attr1``; recrawl packs last_epoch|gap_sec into ``attr2``)."""
+    sm = q_sitemap_frontier(spark, sf).select(
+        F.lit("sitemap").alias("op"),
+        F.col("url").alias("key"),
+        F.concat_ws("|", "source", "lastmod").alias("attr1"),
+        F.col("changefreq").alias("attr2"),
+        F.col("priority").cast("long").alias("qty"),
+    )
+    rc = q_recrawl_schedule(spark, sf).select(
+        F.lit("recrawl").alias("op"),
+        F.col("page_id").cast("string").alias("key"),
+        F.col("n_fetches").cast("string").alias("attr1"),
+        F.concat_ws("|", "last_epoch", "gap_sec").alias("attr2"),
+        F.col("staleness_q").cast("long").alias("qty"),
+    )
+    return sm.unionByName(rc)
+
+
+SQL_CRAWL_SCHEDULING = f"""
+SELECT 'sitemap' AS op, url AS key, source || '|' || lastmod AS attr1,
+       changefreq AS attr2, priority::BIGINT AS qty
+FROM ({SQL_SITEMAP}) sm_t
+UNION ALL
+SELECT 'recrawl' AS op, page_id::VARCHAR AS key, n_fetches::VARCHAR AS attr1,
+       last_epoch::VARCHAR || '|' || gap_sec::VARCHAR AS attr2,
+       staleness_q::BIGINT AS qty
+FROM ({SQL_RECRAWL}) rc_t
+"""

@@ -748,7 +748,17 @@ def q_ann_lsh_cosine(spark, sf):
     recall comes from the union (a neighbor need only collide in ONE
     table), and the candidate set is non-degenerate even on a small
     corpus (one 4096-bucket table yields zero collisions at sf0.01).
-    Approximate by construction -> rows-only check (no oracle)."""
+
+    Round-4 (VERDICT ask #7): QUERY-side multi-probe (Lv et al. 2007,
+    "Multi-Probe LSH") — each query also probes the buckets reached by
+    flipping its 2 LOWEST-MARGIN sign bits per table (the bits whose
+    hyperplane projection is nearest 0 are the likeliest to differ for
+    a true neighbor), individually and together: 4 probe buckets per
+    table.  Only the tiny broadcast query side fans out (x4 rows); the
+    corpus side still computes bucket membership map-side and NEVER
+    shuffles — the 100 TB shape is unchanged.  Approximate by
+    construction -> rows-only check (no oracle); recall@3 pinned by
+    tests/test_ann_recall.py."""
     import numpy as np
 
     em = ld(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -756,27 +766,63 @@ def q_ann_lsh_cosine(spark, sf):
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((12, dim))
 
-    @F.pandas_udf("long")
-    def sig_of(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())  # (n, dim) float32
-        signs = (m @ planes.T) > 0  # (n, 12)
-        return pd.Series((signs * (1 << np.arange(12))).sum(axis=1).astype("int64"))
+    @F.pandas_udf(
+        "struct<sig:long, probes_lo:array<long>, probes_hi:array<long>>"
+    )
+    def sig_probes(emb: pd.Series) -> pd.DataFrame:
+        m = np.stack(emb.to_numpy())  # (n, dim)
+        proj = m @ planes.T  # (n, 12) signed margins
+        signs = proj > 0
+        sig = (signs * (1 << np.arange(12))).sum(axis=1).astype("int64")
+        lo, hi = sig % 64, sig // 64
+        # per-table weakest-two bit indices (stable sort: deterministic
+        # under ties)
+        wlo = np.argsort(np.abs(proj[:, :6]), axis=1, kind="stable")[:, :2]
+        whi = np.argsort(np.abs(proj[:, 6:]), axis=1, kind="stable")[:, :2]
+
+        def probes(base, w):
+            a, b = 1 << w[:, 0], 1 << w[:, 1]
+            return [
+                [int(x), int(x ^ p), int(x ^ q), int(x ^ p ^ q)]
+                for x, p, q in zip(base, a, b)
+            ]
+
+        return pd.DataFrame(
+            {
+                "sig": sig,
+                "probes_lo": probes(lo, wlo),
+                "probes_hi": probes(hi, whi),
+            }
+        )
 
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    bn = em.withColumn("sig", sig_of("embedding")).withColumn("norm", norm)
-    # table 0 = low 6 sign bits, table 1 = high 6; key = (t, bucket)
+    bn = em.withColumn("sp", sig_probes("embedding")).withColumn("norm", norm)
+    # corpus side: exact bucket only (map-side, never shuffled)
     tabs = F.explode(F.array(
-        F.struct(F.lit(0).alias("t"), (F.col("sig") % 64).alias("bucket")),
+        F.struct(F.lit(0).alias("t"), (F.col("sp.sig") % 64).alias("bucket")),
         F.struct(F.lit(1).alias("t"),
-                 (F.col("sig") / 64).cast("long").alias("bucket")),
+                 (F.col("sp.sig") / 64).cast("long").alias("bucket")),
     )).alias("tb")
     bt = bn.select("vec_id", "embedding", "norm", tabs).select(
         "vec_id", "embedding", "norm",
         F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
     )
-    q = bt.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "t", "bucket",
-        F.col("embedding").alias("qv"), F.col("norm").alias("qn"),
+    # query side: multi-probe fan-out (orig + weakest-bit flips)
+    qprobes = F.explode(F.array(
+        F.struct(F.lit(0).alias("t"), F.col("sp.probes_lo").alias("bks")),
+        F.struct(F.lit(1).alias("t"), F.col("sp.probes_hi").alias("bks")),
+    )).alias("tb")
+    q = (
+        bn.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"), F.col("norm").alias("qn"),
+            qprobes,
+        )
+        .select(
+            "query_id", "qv", "qn", F.col("tb.t").alias("t"),
+            F.explode(F.array_distinct(F.col("tb.bks"))).alias("bucket"),
+        )
     )
     # broadcast the tiny query side: the corpus side never shuffles
     # (the 100 TB shape — bucket membership is computed map-side)
@@ -1812,4 +1858,48 @@ SQL_STREAM_WINDOW = """
 SELECT epoch(time_bucket(INTERVAL '6 hours', ts))::BIGINT AS win_start_epoch,
        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+# --- consolidated signed-grid entries (round-4 VERDICT ask #3) -------------------
+#
+# The driver hash-signs only the FIRST 50 queries() entries, so grid
+# slots are consolidated the way ann_exact_ivf consolidated D6+D8: the
+# individual ops stay registered (and locally hash-verified) past the
+# cap; these composites put every op family on the signed grid.
+
+def q_lang_quality(spark, sf):
+    """D10+D11 on one signed slot: language-ID and quality scoring are
+    both per-doc single-map-pass classifiers — JOINED on doc_id (one
+    row per doc carrying both verdicts), which is also the shape a real
+    pipeline materializes (one features row per document)."""
+    lang = q_lang_id(spark, sf)
+    qual = q_quality_score(spark, sf)
+    return lang.join(qual, "doc_id")
+
+
+SQL_LANG_QUALITY = f"""
+SELECT l.*, q.n_tokens, q.ttr, q.alpha_ratio, q.quality
+FROM ({SQL_LANG_ID}) l JOIN ({SQL_QUALITY}) q USING (doc_id)
+"""
+
+
+def q_near_dup_keep_sets(spark, sf):
+    """D3+D3b on one signed slot: the one-hop lowest-id-wins keep set
+    and the transitive connected-components keep set, union-tagged by
+    ``variant`` — the pair the CC tests pin as genuinely different
+    (tests/test_textops_cc.py)."""
+    one = q_near_dup_keep(spark, sf).select(
+        F.lit("onehop").alias("variant"), "doc_id"
+    )
+    cc = q_near_dup_keep_cc(spark, sf).select(
+        F.lit("cc").alias("variant"), "doc_id"
+    )
+    return one.unionByName(cc)
+
+
+SQL_NEAR_DUP_KEEP_SETS = f"""
+SELECT 'onehop' AS variant, doc_id FROM ({SQL_NEAR_DUP_KEEP}) a
+UNION ALL
+SELECT 'cc' AS variant, doc_id FROM ({SQL_NEAR_DUP_KEEP_CC}) b
 """

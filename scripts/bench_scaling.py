@@ -85,6 +85,10 @@ def main() -> int:
     # 0.73 parse-stage efficiency 8->32 vs 0.86 at 4->16), which
     # mis-measures the ENGINE's scalability as the box's bandwidth.
     ap.add_argument("--n", type=int, default=4)
+    # round-3 lesson: ONE 4N sample is not evidence — box noise moved a
+    # 4N leg by 5% (776 vs 815 s).  The official criterion is now ALL
+    # samples >= 0.8, so the record carries every sample.
+    ap.add_argument("--n4-samples", type=int, default=2)
     args = ap.parse_args()
 
     zpath = build_zip()
@@ -95,12 +99,18 @@ def main() -> int:
     n, n4 = args.n, args.n * 4
     r8 = run_once(f"local[{n}]", zpath, args.scale, args.round_seconds,
                   "/tmp/bench_rN.json", args.pages_dir)
-    r32 = run_once(f"local[{n4}]", zpath, args.scale, args.round_seconds,
-                   "/tmp/bench_r4N.json", args.pages_dir)
+    samples = [
+        run_once(f"local[{n4}]", zpath, args.scale, args.round_seconds,
+                 f"/tmp/bench_r4N_{i}.json", args.pages_dir)
+        for i in range(args.n4_samples)
+    ]
+    r32 = min(samples, key=lambda r: r["wall_sec"])  # headline = best leg
 
-    same_outputs = (
-        r8["order_hash"] == r32["order_hash"] and r8["seen_hash"] == r32["seen_hash"]
+    same_outputs = all(
+        r8["order_hash"] == s["order_hash"] and r8["seen_hash"] == s["seen_hash"]
+        for s in samples
     )
+    effs = [round(r8["wall_sec"] / (4 * s["wall_sec"]), 3) for s in samples]
     eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
     speedup = r32["urls_per_sec"] / r8["urls_per_sec"]
 
@@ -117,8 +127,8 @@ def main() -> int:
 | throughput (URLs/s) | {r8['urls_per_sec']} | {r32['urls_per_sec']} |
 
 - corpus scale `{args.scale}`, politeness budget round_seconds={args.round_seconds}, spark-submit --py-files dist zip
-- **determinism across parallelism: crawl_order hash equal = {r8['order_hash'] == r32['order_hash']}, seen hash equal = {r8['seen_hash'] == r32['seen_hash']}** (order_hash {r8['order_hash'][:16]}…)
-- **speedup {n}→{n4} threads: {speedup:.2f}x; scaling efficiency T_4N/(4·T_N) = {eff:.3f}** (criterion ≥ 0.8)
+- **determinism across parallelism: crawl_order + seen hashes equal on ALL {len(samples)} 4N sample(s) = {same_outputs}** (order_hash {r8['order_hash'][:16]}…)
+- **speedup {n}→{n4} threads: {speedup:.2f}x; scaling efficiency T_N/(4·T_4N) per 4N sample: {effs}** (criterion: ALL ≥ 0.8; 4N walls {[s['wall_sec'] for s in samples]} s)
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
@@ -136,7 +146,9 @@ def main() -> int:
         "urls_per_sec_4N": r32["urls_per_sec"],
         "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
-        "criterion": ">= 0.8",
+        "criterion": ">= 0.8 (all 4N samples)",
+        "n4_samples_wall_sec": [s["wall_sec"] for s in samples],
+        "efficiency_per_sample": effs,
         "deterministic_across_parallelism": same_outputs,
         "order_hash": r8["order_hash"],
         "seen_hash": r8["seen_hash"],
@@ -146,10 +158,11 @@ def main() -> int:
     # Promotion rule (documented in BENCH/BASELINE.md): the official
     # machine-readable record — what bench.py re-emits into the
     # driver's BENCH_r{N}.json — is the LATEST run that passes both
-    # halves of the criterion (bit-identical outputs AND efficiency
-    # >= 0.8).  A contention-degraded run never displaces a passing
-    # one; it is still appended to the md log above for the record.
-    if same_outputs and eff >= 0.8:
+    # halves of the criterion (bit-identical outputs AND EVERY 4N
+    # sample's efficiency >= 0.8).  A contention-degraded run never
+    # displaces a passing one; it is still appended to the md log
+    # above for the record.
+    if same_outputs and all(e >= 0.8 for e in effs):
         with open(os.path.join(REPO, "BENCH", "scaling_official.json"), "w") as f:
             json.dump(record, f, indent=1)
         print("+ promoted to BENCH/scaling_official.json")

@@ -4,14 +4,16 @@ rows-only/hash-checked for *determinism*; this test pins their
 silently degrades the approximation fails loudly.
 
 Measured at sf0.01 (500 vectors, 5 queries): IVF nprobe=1 recall@3 =
-0.40; two-table hyperplane-LSH recall@3 = 0.13.  The LSH number is
-bounded by the DATA, not the implementation: the synthetic embeddings
-are near-uniform, so the exact top-3 sit at cos ≈ 0.2–0.3 — a regime
-where random-hyperplane sign bits carry almost no signal.  Hyperplane
-LSH's design target is the high-cosine near-duplicate regime (cos ≥
-0.9, where its recall → 1), which embedding_neardup/minhash cover with
-exact verification.  Thresholds sit one notch below the measured
-values so boxes with different float rounding don't flap.
+0.40; two-table hyperplane-LSH recall@3 = 0.33 with round-4's
+query-side multi-probe (weakest-2-bit flips; single-probe measured
+0.13).  The LSH ceiling is set by the DATA, not the implementation:
+the synthetic embeddings are near-uniform, so the exact top-3 sit at
+cos ≈ 0.2–0.3 — a regime where random-hyperplane sign bits carry
+little signal.  Hyperplane LSH's design target is the high-cosine
+near-duplicate regime (cos ≥ 0.9, where its recall → 1), which
+embedding_neardup/minhash cover with exact verification.  Thresholds
+sit one notch below the measured values so boxes with different float
+rounding don't flap.
 """
 
 from __future__ import annotations
@@ -61,7 +63,8 @@ def test_lsh_recall_vs_exact(spark):
 
     ex = X.q_cosine_topk(spark, SF_DIR).toPandas()
     r = _recall_at3(lsh, ex)
-    assert r >= 0.1, f"LSH recall@3 regressed: {r:.3f}"
+    # multi-probe (round 4): measured 0.33 at sf0.01 vs 0.13 single-probe
+    assert r >= 0.3, f"multi-probe LSH recall@3 regressed: {r:.3f}"
 
 
 def test_trained_ivf_recall_vs_exact(spark):
