@@ -204,7 +204,10 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
     # parallelism-independent write cost at local[4] (prof r5/r6),
     # which is exactly the Amdahl term the north rule's N->4N
     # efficiency criterion punishes.
-    ex_early = ThreadPoolExecutor(max_workers=1)
+    # two workers: the ledger/terminal pair and the (later-staged) seen
+    # delta are independent writes — the seen job must not queue behind
+    # the first batch when a heavy round staggers the submissions
+    ex_early = ThreadPoolExecutor(max_workers=2)
     try:
         while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
             rnd += 1
@@ -552,6 +555,15 @@ def _run_round(
     # multiple driver threads) — the per-round serial floor is the sum
     # of their job latencies otherwise, which is exactly the Amdahl
     # term that kills N->4N scaling efficiency on small rounds.
+    # the seen delta is fully determined by new_frontier (just counted
+    # above), and it is the LARGEST tail write — stage it now so its
+    # job overlaps the remaining driver-side plan construction below
+    # (hs2/stats/checkpoint setup, ~5 s of pure py4j/Catalyst time on
+    # the heavy rounds) instead of queuing behind it
+    seen_delta = new_frontier.select("url_hash", "url", F.lit(rnd).alias("round"))
+    seen_fut = ex_early.submit(
+        lambda: cat.write_round("seen", seen_delta, rnd, DELTA, n_rows=n_new)
+    )
     new_hosts = (
         new_frontier.select("host").distinct()
         .join(hs.select("host"), "host", "left_anti")
@@ -560,7 +572,6 @@ def _run_round(
     )
     hs2 = _apply_host_updates(hs, host_updates, robots_res, new_hosts)
     pending_next = leftover.unionByName(new_frontier)
-    seen_delta = new_frontier.select("url_hash", "url", F.lit(rnd).alias("round"))
     wall_ms = int((time.time() - t0) * 1000)
     stats = (
         parsed.groupBy("page_type")
@@ -582,7 +593,6 @@ def _run_round(
                                 n_rows=n_pending_after - n_admitted + n_new),
         lambda: cat.write_round("host_state", hs2, rnd, REPLACE,
                                 skip_if_empty=False),
-        lambda: cat.write_round("seen", seen_delta, rnd, DELTA, n_rows=n_new),
         lambda: cat.write_round("round_metrics", stats, rnd, DELTA,
                                 skip_if_empty=False),
     ]
@@ -616,6 +626,7 @@ def _run_round(
         # rounds are the first few only; losing their overlap is noise)
         _write_all(writes)
         early_fut.result()
+        seen_fut.result()
         _prof(rnd, t0, "state writes done")
         cat.commit_round(rnd, lineage=lineage, metrics=metrics)
         _unpersist_all(intermediates + _carry_dfs(carry))
@@ -639,6 +650,7 @@ def _run_round(
     def _commit_bg():
         _write_all(writes)
         early_fut.result()
+        seen_fut.result()
         _prof(rnd, t0, "state writes done (bg)")
         cat.commit_round(rnd, lineage=lineage, metrics=metrics)
         _unpersist_all(retiring)

@@ -239,11 +239,16 @@ def load_scaling_evidence() -> dict | None:
         return None
     rec = last or official
     eff = rec.get("efficiency")
+    # round-3 lesson: ONE 4N sample is not evidence.  The criterion is
+    # ALL recorded 4N samples >= 0.8 (falls back to the headline
+    # efficiency for pre-round-4 records without per-sample data).
+    effs = rec.get("efficiency_per_sample") or ([eff] if eff is not None else [])
     ok = bool(rec.get("deterministic_across_parallelism")) and (
-        eff is not None and eff >= 0.8)
+        bool(effs) and all(e >= 0.8 for e in effs))
     out = {
         "pair": rec.get("pair"),
         "efficiency": eff,
+        "efficiency_per_sample": effs,
         "pass": ok,
         "urls_per_sec_N": rec.get("urls_per_sec_N"),
         "urls_per_sec_4N": rec.get("urls_per_sec_4N"),
@@ -251,6 +256,8 @@ def load_scaling_evidence() -> dict | None:
         "source": "scaling_last.json" if last is not None else "scaling_official.json",
         "ts": rec.get("timestamp_utc"),
     }
+    if rec.get("wall_sec_N_source"):
+        out["wall_sec_N_source"] = rec["wall_sec_N_source"]
     if (official is not None and last is not None
             and official.get("timestamp_utc") != last.get("timestamp_utc")):
         out["official_efficiency"] = official.get("efficiency")
