@@ -165,11 +165,12 @@ def main() -> int:
                   file=sys.stderr)
         finally:
             # drop query-scoped persists so cached blocks from the
-            # near-dup pipelines don't distort later measurements.
+            # near-dup pipelines don't hold memory across queries.
             # SPARK_GRAFT_BENCH_LEAK_CACHES=1 reproduces the pre-round-3
-            # behavior (caches leak across queries) ONLY for the
-            # cache-hygiene A/B documented in BENCH/BASELINE.md — it is
-            # never the measurement mode.
+            # behavior (caches leak across queries); the controlled A/B
+            # in BENCH/BASELINE.md (scripts/bench_cache_ab.py) measured
+            # the leak effect on query time as nil-to-negative, so this
+            # is hygiene, not a timing confounder.
             if not os.environ.get("SPARK_GRAFT_BENCH_LEAK_CACHES"):
                 release_caches()
 
@@ -185,9 +186,10 @@ def main() -> int:
         "cpus": cpus,
         "scaling": load_scaling_evidence(),
         "queries": qtimes,
-        # r02 -> r03 per-query comparability note: r03+ releases
-        # query-scoped caches between queries (honest numbers); r02's
-        # were flattered by leaked persists (A/B in BENCH/BASELINE.md)
+        # r02 -> r03 per-query comparability note: the controlled A/B
+        # (BENCH/BASELINE.md) attributes the deltas to measurement
+        # context on a shared VM, NOT to the r03 cache-hygiene change;
+        # the field records the mode so runs remain labeled either way
         "cache_hygiene": "per-query" if not os.environ.get(
             "SPARK_GRAFT_BENCH_LEAK_CACHES") else "leaked",
     }
