@@ -68,7 +68,7 @@ def _edges(spark, sf):
     )
 
 
-def q_pagerank_links(spark, sf):
+def q_pagerank_links(spark, sf, edges=None):
     """G1: 3 sweeps of fixed-point integer PageRank (d=0.85) over the
     symmetrized customer↔supplier graph; top-20 nodes by final mass.
 
@@ -78,8 +78,15 @@ def q_pagerank_links(spark, sf):
     shuffle join (rank vector ⋈ edges on ``src``) plus one hash-agg on
     ``dst`` — not the two joins the naive pr⋈deg⋈edges shape pays; the
     edge list is persisted hash-partitioned on ``src`` so all sweeps
-    reuse one partitioning."""
-    edges0 = _scoped_persist(_edges(spark, sf).repartition("src"))
+    reuse one partitioning.
+
+    ``edges``: optional pre-persisted src-partitioned symmetrized edge
+    list — q_graph_signals builds the edge list ONCE and passes it to
+    all three signal ops (round-4 VERDICT #2: the consolidated slot was
+    paying the lineitem⋈orders edge build three times)."""
+    edges0 = edges if edges is not None else _scoped_persist(
+        _edges(spark, sf).repartition("src")
+    )
     deg = edges0.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges = _scoped_persist(
         edges0.join(deg, "src").select("src", "dst", "outdeg")
@@ -165,7 +172,7 @@ def _topk_ranked(df, kind: str, score_col: str, node_col: str, k: int = 10):
     )
 
 
-def q_hits_links(spark, sf):
+def q_hits_links(spark, sf, fwd_edges=None):
     """G2: HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
     customer→supplier graph — the second classic scheduler signal next
     to PageRank (a hub page's out-links are high-value fetches even
@@ -184,10 +191,18 @@ def q_hits_links(spark, sf):
     vector against the persisted edge list + one hash-agg; the
     renormalizing max is a scalar global agg broadcast back — O(1)
     rows moved.  Same exchange-reuse story as PageRank; nothing
-    all-pairs."""
+    all-pairs.
+
+    ``fwd_edges``: optional pre-persisted src-partitioned directed edge
+    list (see q_pagerank_links' ``edges``).  Degenerate corpora (empty
+    or zero-mass edge list) yield an EMPTY result — the oracle SQL's
+    behavior on the same input (ADVICE r04: the raise here diverged
+    from SQL_HITS)."""
     from .textops import _scoped_local_checkpoint
 
-    fwd = _scoped_persist(_fwd_edges(spark, sf).repartition("src"))
+    fwd = fwd_edges if fwd_edges is not None else _scoped_persist(
+        _fwd_edges(spark, sf).repartition("src")
+    )
     hub = fwd.select("src").distinct().select(
         "src", F.lit(_HITS_SCALE).cast("long").alias("h")
     )
@@ -205,9 +220,12 @@ def q_hits_links(spark, sf):
             .agg(F.sum("h").cast("long").alias("a"))
         )
         amax = araw.agg(F.max("a")).collect()[0][0]
-        if not amax:  # None/0 on an empty edge list — bail before the
-            # literal ends up string-interpolated into F.expr as "div None"
-            raise ValueError("HITS: empty or zero-mass edge list")
+        if not amax:  # None/0 on an empty edge list — converge to the
+            # oracle's answer (empty result), don't let the literal end
+            # up string-interpolated into F.expr as "div None"
+            return spark.createDataFrame(
+                [], "kind string, node string, score long, rnk int"
+            )
         auth = araw.select("dst", F.expr(f"a * {_HITS_SCALE} div {amax}").alias("a"))
         hraw = _scoped_local_checkpoint(
             fwd.join(auth, "dst")
@@ -216,7 +234,9 @@ def q_hits_links(spark, sf):
         )
         hmax = hraw.agg(F.max("h")).collect()[0][0]
         if not hmax:
-            raise ValueError("HITS: empty or zero-mass edge list")
+            return spark.createDataFrame(
+                [], "kind string, node string, score long, rnk int"
+            )
         hub = hraw.select("src", F.expr(f"h * {_HITS_SCALE} div {hmax}").alias("h"))
     return _topk_ranked(auth, "auth", "a", "dst").unionByName(
         _topk_ranked(hub, "hub", "h", "src")
@@ -267,7 +287,7 @@ _BFS_SWEEPS = 3
 _BFS_SEEDS = ("c1", "c2", "c3")
 
 
-def q_seed_distance(spark, sf):
+def q_seed_distance(spark, sf, edges=None):
     """G3: min-hop distance from a fixed seed set over the symmetrized
     link graph, capped at _BFS_SWEEPS (3) hops — the frontier's crawl-depth
     signal (A9's min-depth discovery merge IS one BFS sweep; this runs
@@ -280,10 +300,15 @@ def q_seed_distance(spark, sf):
     group-min — BFS as |diameter| distributed passes, never
     materializing paths.  Sweep tables are eagerly localCheckpoint'd
     (lineage cut — same rationale as connected_components_min_label,
-    released by release_caches())."""
+    released by release_caches()).
+
+    ``edges``: optional pre-persisted src-partitioned symmetrized edge
+    list (see q_pagerank_links' ``edges``)."""
     from .textops import _scoped_local_checkpoint
 
-    both = _scoped_persist(_edges(spark, sf).repartition("src"))
+    both = edges if edges is not None else _scoped_persist(
+        _edges(spark, sf).repartition("src")
+    )
     d = (
         both.select("src").distinct()
         .where(F.col("src").isin(*_BFS_SEEDS))
@@ -344,20 +369,33 @@ def q_graph_signals(spark, sf):
     driver hash-signs only the first 50 queries() entries, so every
     op must ride a signed slot).  Schema normalized to
     (signal, node, score, rnk); all values from the three ops are
-    preserved verbatim (BFS packs min|max node into ``node``)."""
-    pr = q_pagerank_links(spark, sf).select(
+    preserved verbatim (BFS packs min|max node into ``node``).
+
+    The edge list is built and persisted ONCE here and threaded into
+    all three ops (round-4 VERDICT #2: each op independently ran the
+    lineitem⋈orders edge-build join and persisted its own copy — ~1/3
+    of the slot's 13.7 s at sf0.1 was redundant edge construction).
+    The symmetrized list derives from the persisted directed one, so
+    the base join executes a single time."""
+    fwd = _scoped_persist(_fwd_edges(spark, sf).repartition("src"))
+    both = _scoped_persist(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("src")
+    )
+    pr = q_pagerank_links(spark, sf, edges=both).select(
         F.lit("pagerank").alias("signal"),
         "node",
         F.col("pr").cast("long").alias("score"),
         F.col("rnk").cast("int").alias("rnk"),
     )
-    ht = q_hits_links(spark, sf).select(
+    ht = q_hits_links(spark, sf, fwd_edges=fwd).select(
         F.concat(F.lit("hits_"), F.col("kind")).alias("signal"),
         "node",
         F.col("score").cast("long").alias("score"),
         F.col("rnk").cast("int").alias("rnk"),
     )
-    bf = q_seed_distance(spark, sf).select(
+    bf = q_seed_distance(spark, sf, edges=both).select(
         F.lit("bfs").alias("signal"),
         F.concat_ws("|", "min_node", "max_node").alias("node"),
         F.col("n_nodes").cast("long").alias("score"),
@@ -440,7 +478,18 @@ def pagerank_fixpoint(edges, tol_micro: int = 16, max_sweeps: int = 64):
 def hits_fixpoint(fwd_edges, tol_micro: int = 16, max_sweeps: int = 64):
     """Iterate L∞-renormalized integer HITS until both hub and
     authority vectors are stable within ``tol_micro``.  Returns
-    ``(auth_df, hub_df, n_sweeps)``."""
+    ``(auth_df, hub_df, n_sweeps)``.
+
+    Probe folding (round-4 VERDICT nit #4): the renormalizing max is
+    computed IN-DAG — a 1-row global agg broadcast-crossJoined back
+    onto the raw vector — so the only driver collect per half-sweep is
+    the combined delta probe (1 collect instead of the previous
+    renorm-max + delta pair; 2 probe jobs/sweep instead of 4).  The
+    raw half-sweep stays eagerly localCheckpoint'd (it is the branched
+    expensive join+agg); the normalized projection over it is cheap to
+    re-derive.  An empty/zero-mass edge list CONVERGES to empty
+    auth/hub vectors (the CC loop's converge-on-empty semantics and
+    q_hits_links' oracle-matching behavior) instead of raising."""
     from .textops import _scoped_local_checkpoint, _scoped_persist
 
     fwd = _scoped_persist(fwd_edges.repartition("src"))
@@ -450,38 +499,43 @@ def hits_fixpoint(fwd_edges, tol_micro: int = 16, max_sweeps: int = 64):
     )
     auth = None
 
-    def _renorm(raw, col, scale):
-        mx = raw.agg(F.max(col)).collect()[0][0]
-        if not mx:
-            raise ValueError("HITS: empty or zero-mass edge list")
-        return raw.select(
-            raw.columns[0], F.expr(f"{col} * {scale} div {mx}").alias(col)
+    def _renorm_lazy(raw, col, scale):
+        # in-DAG L∞ renorm: 1-row max broadcast back; no driver collect
+        mx = raw.agg(F.max(col).alias("_mx"))
+        key = raw.columns[0]
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .where(F.col("_mx").isNotNull() & (F.col("_mx") != 0))
+            .select(key, F.expr(f"{col} * {scale} div _mx").alias(col))
         )
 
     def _delta(new, old, key, col):
+        # the ONE driver collect per half-sweep: max |new - old| over a
+        # full outer join of two O(nodes) vectors; None on an empty
+        # join (both vectors empty) counts as converged (delta 0)
         if old is None:
             return None
-        return (
+        d = (
             new.alias("n").join(old.alias("o"), key, "full")
             .agg(F.max(F.abs(
                 F.coalesce(F.col(f"n.{col}"), F.lit(0))
                 - F.coalesce(F.col(f"o.{col}"), F.lit(0))
             )).alias("d"))
             .collect()[0][0]
-            or 0
         )
+        return 0 if d is None else d
 
     for sweep in range(1, max_sweeps + 1):
         araw = _scoped_local_checkpoint(
             fwd.join(hub, "src").groupBy("dst")
             .agg(F.sum("h").cast("long").alias("a"))
         )
-        new_auth = _scoped_local_checkpoint(_renorm(araw, "a", _HITS_SCALE))
+        new_auth = _renorm_lazy(araw, "a", _HITS_SCALE)
         hraw = _scoped_local_checkpoint(
             fwd.join(new_auth, "dst").groupBy("src")
             .agg(F.sum("a").cast("long").alias("h"))
         )
-        new_hub = _scoped_local_checkpoint(_renorm(hraw, "h", _HITS_SCALE))
+        new_hub = _renorm_lazy(hraw, "h", _HITS_SCALE)
         da = _delta(new_auth, auth, "dst", "a")
         dh = _delta(new_hub, hub, "src", "h")
         auth, hub = new_auth, new_hub

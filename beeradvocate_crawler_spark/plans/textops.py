@@ -45,11 +45,19 @@ def table_rows(sf_dir: str, name: str) -> int | None:
         import pyarrow.parquet as pq
 
         if _os.path.isdir(path):
-            return sum(
-                pq.read_metadata(_os.path.join(path, f)).num_rows
-                for f in _os.listdir(path)
+            # recursive walk, mirroring catalog._inventory: a
+            # partitioned/nested layout has no top-level .parquet files
+            # and a flat listdir would return an empty sum — 0, not
+            # None — silently feeding n_docs=0 to IDF (ADVICE r04)
+            parts = [
+                _os.path.join(root, f)
+                for root, _dirs, files in _os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
-            )
+            ]
+            if not parts:
+                return None
+            return sum(pq.read_metadata(p).num_rows for p in parts)
         return pq.read_metadata(path).num_rows
     except Exception:
         return None
@@ -741,87 +749,105 @@ FROM scored QUALIFY rnk <= 5
 
 
 def q_ann_lsh_cosine(spark, sf):
-    """Random-hyperplane LSH ANN (scale path): 12 deterministic
-    hyperplanes split into TWO 6-bit hash tables (multi-table LSH) ->
+    """Random-hyperplane LSH ANN (scale path): 18 deterministic
+    hyperplanes split into THREE 6-bit hash tables (multi-table LSH) ->
     bucket join per table -> union of candidates -> within-bucket
-    brute force.  Two coarse tables instead of one fine 12-bit table:
+    brute force.  Coarse tables instead of one fine 18-bit table:
     recall comes from the union (a neighbor need only collide in ONE
     table), and the candidate set is non-degenerate even on a small
     corpus (one 4096-bucket table yields zero collisions at sf0.01).
+    The third table is round 5's recall widening (VERDICT ask #7).
 
-    Round-4 (VERDICT ask #7): QUERY-side multi-probe (Lv et al. 2007,
-    "Multi-Probe LSH") — each query also probes the buckets reached by
-    flipping its 2 LOWEST-MARGIN sign bits per table (the bits whose
-    hyperplane projection is nearest 0 are the likeliest to differ for
-    a true neighbor), individually and together: 4 probe buckets per
-    table.  Only the tiny broadcast query side fans out (x4 rows); the
-    corpus side still computes bucket membership map-side and NEVER
-    shuffles — the 100 TB shape is unchanged.  Approximate by
-    construction -> rows-only check (no oracle); recall@3 pinned by
-    tests/test_ann_recall.py."""
+    Round-4 (VERDICT ask #7), widened in round 5: QUERY-side
+    multi-probe (Lv et al. 2007, "Multi-Probe LSH") — each query also
+    probes the buckets reached by flipping its 3 LOWEST-MARGIN sign
+    bits per table (the bits whose hyperplane projection is nearest 0
+    are the likeliest to differ for a true neighbor), in every subset
+    combination: 8 probe buckets per table.  Only the tiny broadcast
+    query side fans out (x8 rows); the corpus side computes a
+    fully-vectorized signature map-side and NEVER shuffles — the
+    100 TB shape is unchanged.  The probe-list UDF (a per-row Python
+    loop) runs ONLY after the query-side filter (ADVICE r04: round 4
+    had it on every corpus row, a constant-factor Python regression).
+    Approximate by construction -> rows-only check (no oracle);
+    recall@3 pinned by tests/test_ann_recall.py."""
     import numpy as np
 
     em = ld(spark, sf, "embeddings").select("vec_id", "embedding")
     dim = 64
+    n_tables = 3
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((12, dim))
+    planes = rng.standard_normal((6 * n_tables, dim))
 
-    @F.pandas_udf(
-        "struct<sig:long, probes_lo:array<long>, probes_hi:array<long>>"
-    )
-    def sig_probes(emb: pd.Series) -> pd.DataFrame:
+    @F.pandas_udf("long")
+    def sig_only(emb: pd.Series) -> pd.Series:
+        # corpus-side hot path: pure vectorized numpy, no per-row loop
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
         m = np.stack(emb.to_numpy())  # (n, dim)
-        proj = m @ planes.T  # (n, 12) signed margins
-        signs = proj > 0
-        sig = (signs * (1 << np.arange(12))).sum(axis=1).astype("int64")
-        lo, hi = sig % 64, sig // 64
-        # per-table weakest-two bit indices (stable sort: deterministic
-        # under ties)
-        wlo = np.argsort(np.abs(proj[:, :6]), axis=1, kind="stable")[:, :2]
-        whi = np.argsort(np.abs(proj[:, 6:]), axis=1, kind="stable")[:, :2]
-
-        def probes(base, w):
-            a, b = 1 << w[:, 0], 1 << w[:, 1]
-            return [
-                [int(x), int(x ^ p), int(x ^ q), int(x ^ p ^ q)]
-                for x, p, q in zip(base, a, b)
-            ]
-
-        return pd.DataFrame(
-            {
-                "sig": sig,
-                "probes_lo": probes(lo, wlo),
-                "probes_hi": probes(hi, whi),
-            }
+        signs = (m @ planes.T) > 0
+        return pd.Series(
+            (signs * (1 << np.arange(6 * n_tables))).sum(axis=1)
+            .astype("int64")
         )
 
+    @F.pandas_udf("array<array<long>>")
+    def sig_probes(emb: pd.Series) -> pd.Series:
+        # query-side only (bounded rows): per-table weakest-3-bit
+        # multi-probe — probes[t] lists the 8 buckets (orig + every
+        # weakest-bit-subset flip) for table t
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(emb.to_numpy())  # (n, dim)
+        proj = m @ planes.T  # (n, 6*n_tables) signed margins
+        signs = proj > 0
+        sig = (
+            (signs * (1 << np.arange(6 * n_tables))).sum(axis=1)
+            .astype("int64")
+        )
+        out = []
+        for r in range(len(sig)):
+            tables = []
+            for t in range(n_tables):
+                base = int(sig[r] >> (6 * t)) & 63
+                mproj = np.abs(proj[r, 6 * t:6 * t + 6])
+                i, j, k = np.argsort(mproj, kind="stable")[:3]
+                a, b, c = 1 << int(i), 1 << int(j), 1 << int(k)
+                tables.append([
+                    base ^ mm
+                    for mm in (0, a, b, c, a | b, a | c, b | c, a | b | c)
+                ])
+            out.append(tables)
+        return pd.Series(out)
+
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    bn = em.withColumn("sp", sig_probes("embedding")).withColumn("norm", norm)
-    # corpus side: exact bucket only (map-side, never shuffled)
-    tabs = F.explode(F.array(
-        F.struct(F.lit(0).alias("t"), (F.col("sp.sig") % 64).alias("bucket")),
-        F.struct(F.lit(1).alias("t"),
-                 (F.col("sp.sig") / 64).cast("long").alias("bucket")),
-    )).alias("tb")
+    bn = em.withColumn("sig", sig_only("embedding")).withColumn("norm", norm)
+    # corpus side: exact bucket only per table (map-side, never shuffled)
+    tabs = F.explode(F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            F.expr(f"shiftright(sig, {6 * t}) % 64").alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])).alias("tb")
     bt = bn.select("vec_id", "embedding", "norm", tabs).select(
         "vec_id", "embedding", "norm",
         F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
     )
-    # query side: multi-probe fan-out (orig + weakest-bit flips)
-    qprobes = F.explode(F.array(
-        F.struct(F.lit(0).alias("t"), F.col("sp.probes_lo").alias("bks")),
-        F.struct(F.lit(1).alias("t"), F.col("sp.probes_hi").alias("bks")),
-    )).alias("tb")
+    # query side: multi-probe fan-out (orig + weakest-bit-subset flips);
+    # the probe UDF runs AFTER the vec_id filter — bounded rows
     q = (
-        bn.where(F.col("vec_id") < 5)
+        em.where(F.col("vec_id") < 5)
+        .withColumn("probes", sig_probes("embedding"))
+        .withColumn("norm", norm)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"), F.col("norm").alias("qn"),
-            qprobes,
+            F.posexplode("probes").alias("t", "bks"),
         )
         .select(
-            "query_id", "qv", "qn", F.col("tb.t").alias("t"),
-            F.explode(F.array_distinct(F.col("tb.bks"))).alias("bucket"),
+            "query_id", "qv", "qn", "t",
+            F.explode(F.array_distinct(F.col("bks"))).alias("bucket"),
         )
     )
     # broadcast the tiny query side: the corpus side never shuffles

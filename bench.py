@@ -153,26 +153,55 @@ def main() -> int:
 
     from beeradvocate_crawler_spark.plans.textops import release_caches
 
-    qtimes: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        t0 = time.time()
-        try:
-            force(fn(spark, sf_dir))
-            qtimes[name] = round(time.time() - t0, 2)
-        except Exception as e:  # keep the bench line emittable
-            qtimes[name] = -1.0
-            print(f"# bench error {name}: {type(e).__name__}: {str(e)[:150]}",
-                  file=sys.stderr)
-        finally:
-            # drop query-scoped persists so cached blocks from the
-            # near-dup pipelines don't hold memory across queries.
-            # SPARK_GRAFT_BENCH_LEAK_CACHES=1 reproduces the pre-round-3
-            # behavior (caches leak across queries); the controlled A/B
-            # in BENCH/BASELINE.md (scripts/bench_cache_ab.py) measured
-            # the leak effect on query time as nil-to-negative, so this
-            # is hygiene, not a timing confounder.
-            if not os.environ.get("SPARK_GRAFT_BENCH_LEAK_CACHES"):
-                release_caches()
+    def sweep(items) -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name, fn in items:
+            t0 = time.time()
+            try:
+                force(fn(spark, sf_dir))
+                times[name] = round(time.time() - t0, 2)
+            except Exception as e:  # keep the bench line emittable
+                times[name] = -1.0
+                print(f"# bench error {name}: {type(e).__name__}: "
+                      f"{str(e)[:150]}", file=sys.stderr)
+            finally:
+                # drop query-scoped persists so cached blocks from the
+                # near-dup pipelines don't hold memory across queries.
+                # SPARK_GRAFT_BENCH_LEAK_CACHES=1 reproduces the
+                # pre-round-3 behavior (caches leak across queries); the
+                # controlled A/B in BENCH/BASELINE.md
+                # (scripts/bench_cache_ab.py) measured the leak effect on
+                # query time as nil-to-negative, so this is hygiene, not
+                # a timing confounder.
+                if not os.environ.get("SPARK_GRAFT_BENCH_LEAK_CACHES"):
+                    release_caches()
+        return times
+
+    # Constituent twins of the consolidated SIGNED slots: each of these
+    # re-executes work its union entry (graph_signals, near_dup_keep_sets,
+    # lang_quality, crawl_scheduling) already timed in the same sweep —
+    # round-4 VERDICT #3 measured ~25 s/sweep of double-run graph+neardup
+    # work.  They stay registered (the driver smoke and check_queries.py
+    # still hash-verify them); the default bench sweep skips them.
+    # SPARK_GRAFT_BENCH_ALL=1 restores the exhaustive sweep.
+    constituent_twins = {
+        "near_dup_keep", "near_dup_keep_cc", "lang_id", "quality_score",
+        "pagerank_links", "hits_links", "seed_distance",
+        "recrawl_schedule", "sitemap_frontier",
+    }
+    items = [
+        (n, f) for n, f in E.queries().items()
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL")
+        or n not in constituent_twins
+    ]
+    qtimes = sweep(items)
+    # Second timed pass: every query has now run once in THIS process,
+    # so pass 2 is same-context by construction (JIT + page cache warm,
+    # identical session state) — the bench_cache_ab.py protocol wired
+    # into the round workflow (round-4 VERDICT ask #9).  Cross-round
+    # per-query comparisons should use this block; pass 1 keeps
+    # continuity with r01–r04 lines.
+    qtimes_warm = sweep(items)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -186,6 +215,7 @@ def main() -> int:
         "cpus": cpus,
         "scaling": load_scaling_evidence(),
         "queries": qtimes,
+        "queries_same_context": qtimes_warm,
         # r02 -> r03 per-query comparability note: the controlled A/B
         # (BENCH/BASELINE.md) attributes the deltas to measurement
         # context on a shared VM, NOT to the r03 cache-hygiene change;
