@@ -44,7 +44,11 @@ from ..operators.frontier import (
 )
 from ..operators.ordering import with_global_rank
 from ..operators.parse import parse_fetched, records_from_parsed
-from ..operators.politeness import decide_round, host_updates_from_decided
+from ..operators.politeness import (
+    TOKEN_BURST_FACTOR,
+    decide_round,
+    host_updates_from_decided,
+)
 from ..sources.catalog import DELTA, REPLACE, SnapshotCatalog
 from ..sources.corpus import read_corpus_meta
 
@@ -212,7 +216,9 @@ def _loop(spark, cat: SnapshotCatalog, pages_path, cfg, max_rounds):
         while rnd < cfg.max_rounds and (max_rounds is None or rounds_done < max_rounds):
             rnd += 1
             t0 = time.time()
-            progressed, next_rank, n_hosts_ub, carry = _run_round(
+            # rnd comes back possibly advanced: starved rounds batch
+            # their no-op successors into one commit (fast-forward)
+            progressed, rnd, next_rank, n_hosts_ub, carry = _run_round(
                 spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex,
                 ex_early,
             )
@@ -251,7 +257,10 @@ def _prof(rnd, t0, label):
 
 def _run_round(
     spark, cat, pages, cfg, rnd, next_rank, n_hosts_ub, t0, carry, ex, ex_early
-) -> tuple[bool, int, int | None, "_Carry | None"]:
+) -> tuple[bool, int, int, int | None, "_Carry | None"]:
+    """Returns (progressed, rnd, next_rank, n_hosts_ub, carry); ``rnd``
+    may come back AHEAD of the input when a starved round fast-forwards
+    past its no-op successors (see the n_admitted == 0 branch)."""
     if carry is not None:
         # pipelined round: decide consumes the previous round's
         # persisted in-memory state while its writes+commit run in the
@@ -352,26 +361,86 @@ def _run_round(
                                        "config": asdict(cfg),
                                        "n_hosts_ub": n_hosts_ub})
         _unpersist_all([decided, decide_cand, *_carry_dfs(carry)])
-        return False, next_rank, n_hosts_ub, None
+        return False, rnd, next_rank, n_hosts_ub, None
 
     if n_admitted == 0:
-        # token starvation round: only terminal marks + refill bookkeeping
+        # token starvation round: only terminal marks + refill bookkeeping.
+        # Adaptive starved-round batching (round-4 VERDICT ask #4): a
+        # starved round changes NOTHING except candidate hosts' token
+        # levels, so consecutive starved rounds are collapsed into this
+        # one commit by pre-applying the skipped rounds' refills and
+        # jumping the round counter.  Because burst = 2x refill, a
+        # candidate host either admits within 2 refills or NEVER can
+        # (burst < 1 token): the skip distance is 1 round — or the
+        # whole remaining budget when every candidate host is
+        # permanently starved (without this, one slow host burns
+        # max_rounds x the ~1.3 s round floor of empty driver rounds).
+        # Ledger/seen/frontier semantics are untouched — skipped rounds
+        # admit nothing by construction and the extra refill reproduces
+        # the oracle's per-round iterated float math exactly (one
+        # least(burst, t + r) step; a second iteration is a fixed point
+        # at burst).  Only when this round logged no terminal rows
+        # (n_blocked == 0), so every table delta stays round-exact.
+        rnd_commit, extra_refill = rnd, False
+        if n_blocked == 0:
+            rr = F.lit(float(cfg.round_seconds)) / F.col("d")
+            t2 = F.least(F.lit(TOKEN_BURST_FACTOR) * rr, F.col("t") + rr)
+            jrow = (
+                decided.where(F.col("n_elig") > 0)
+                .groupBy("host")
+                .agg(F.first("tokens_refilled").alias("t"),
+                     F.first("crawl_delay").alias("d"))
+                .select(
+                    F.min(
+                        F.when(t2 >= 1.0, F.lit(1))
+                        .when(F.lit(TOKEN_BURST_FACTOR) * rr >= 1.0, F.lit(2))
+                    ).alias("jmin"),
+                    F.count("*").alias("nh"),
+                ).collect()[0]
+            )
+            if jrow["nh"] == 0:
+                # structural deadlock: no host has any candidate and no
+                # fetch is in flight to change that — the oracle idles
+                # to max_rounds; commit once at the horizon instead
+                rnd_commit = cfg.max_rounds
+            elif jrow["jmin"] == 2:
+                rnd_commit, extra_refill = rnd + 1, True
+            elif jrow["jmin"] is None:
+                # every candidate host is permanently starved
+                # (burst < 1 token): idle to the horizon in one commit
+                rnd_commit, extra_refill = cfg.max_rounds, True
         hs2 = _apply_host_updates(hs, host_updates, None, None)
+        if extra_refill:
+            cand_hosts = (
+                decided.where(F.col("n_elig") > 0).select("host").distinct()
+                .withColumn("_cand", F.lit(True))
+            )
+            rr2 = F.lit(float(cfg.round_seconds)) / F.col("crawl_delay")
+            hs2 = hs2.join(F.broadcast(cand_hosts), "host", "left").withColumn(
+                "tokens",
+                F.when(
+                    F.col("_cand"),
+                    F.least(F.lit(TOKEN_BURST_FACTOR) * rr2,
+                            F.col("tokens") + rr2),
+                ).otherwise(F.col("tokens")),
+            ).drop("_cand")
         _join_commit(carry)
         _write_all([
-            lambda: cat.write_round("frontier", leftover, rnd, REPLACE,
+            lambda: cat.write_round("frontier", leftover, rnd_commit, REPLACE,
                                     skip_if_empty=False,
                                     n_rows=n_pending_after),
-            lambda: cat.write_round("frontier_log", terminal, rnd, DELTA,
-                                    n_rows=n_blocked),
-            lambda: cat.write_round("host_state", hs2, rnd, REPLACE,
+            lambda: cat.write_round("frontier_log", terminal, rnd_commit,
+                                    DELTA, n_rows=n_blocked),
+            lambda: cat.write_round("host_state", hs2, rnd_commit, REPLACE,
                                     skip_if_empty=False),
         ])
-        cat.commit_round(rnd, lineage={"next_rank": next_rank,
-                                       "config": asdict(cfg),
-                                       "n_hosts_ub": n_hosts_ub})
+        lineage = {"next_rank": next_rank, "config": asdict(cfg),
+                   "n_hosts_ub": n_hosts_ub}
+        if rnd_commit != rnd:
+            lineage["fast_forwarded_from"] = rnd
+        cat.commit_round(rnd_commit, lineage=lineage)
         _unpersist_all([decided, decide_cand, *_carry_dfs(carry)])
-        return True, next_rank, n_hosts_ub, None
+        return True, rnd_commit, next_rank, n_hosts_ub, None
 
     # 3. deterministic global order -> ledger (A20)
     ranked = with_global_rank(
@@ -630,7 +699,7 @@ def _run_round(
         _prof(rnd, t0, "state writes done")
         cat.commit_round(rnd, lineage=lineage, metrics=metrics)
         _unpersist_all(intermediates + _carry_dfs(carry))
-        return True, next_rank + n_admitted, n_hosts_ub, None
+        return True, rnd, next_rank + n_admitted, n_hosts_ub, None
 
     # pipelined commit: localCheckpoint the next round's decide inputs
     # (cuts the cross-round lineage — WITHOUT this the logical plan
@@ -657,7 +726,7 @@ def _run_round(
 
     fut = ex.submit(_commit_bg)
     _prof(rnd, t0, "commit submitted (bg)")
-    return True, next_rank + n_admitted, n_hosts_ub, _Carry(
+    return True, rnd, next_rank + n_admitted, n_hosts_ub, _Carry(
         frontier=pending_next, host_state=hs2, rules=rules, commit=fut
     )
 

@@ -238,13 +238,15 @@ class SnapshotCatalog:
         # notwithstanding.)
         prev_round = prev.round if prev is not None else -1
         # r == prev_round is a sanctioned amend of the CURRENT snapshot
-        # (resume rebuilds seen_filter into its own round); either way
-        # the pointer must still name the snapshot THIS writer staged
-        # against — if a concurrent writer advanced it (including to
-        # the same round number), committing would clobber their round.
-        if self._base_round != prev_round or r not in (
-            prev_round, prev_round + 1
-        ):
+        # (resume rebuilds seen_filter into its own round); r may also
+        # jump AHEAD of prev_round + 1 — a starved round fast-forwards
+        # past its no-op successors and commits at the skipped-to round
+        # number (plans/crawl.py), so round numbers are monotone but
+        # not contiguous.  Either way the pointer must still name the
+        # snapshot THIS writer staged against — if a concurrent writer
+        # advanced it (including to the same round number), committing
+        # would clobber their round.
+        if self._base_round != prev_round or r < prev_round:
             raise CommitConflictError(
                 f"cannot commit round {r}: current snapshot is round "
                 f"{prev_round}, this writer staged against round "

@@ -385,7 +385,11 @@ class TestCommitConcurrency:
         assert self._cat(spark, d).latest().round == 1
         shutil.rmtree(d, ignore_errors=True)
 
-    def test_round_gap_rejected(self, spark):
+    def test_round_numbers_monotone_not_contiguous(self, spark):
+        """Round numbers may jump FORWARD (a starved round fast-forwards
+        past its no-op successors and commits at the skipped-to round);
+        they must never go backward, and amending one's own current
+        round stays sanctioned."""
         from beeradvocate_crawler_spark.sources.catalog import (
             CommitConflictError,
         )
@@ -393,10 +397,11 @@ class TestCommitConcurrency:
         d = tempfile.mkdtemp(prefix="ba_cc_")
         a = self._cat(spark, d)
         a.commit_round(0)
+        a.commit_round(2)  # forward jump: sanctioned (fast-forward)
         with pytest.raises(CommitConflictError):
-            a.commit_round(2)  # skips round 1
-        a.commit_round(1)  # sequential is fine
-        a.commit_round(1)  # amending one's own current round is fine
+            a.commit_round(1)  # backward: never
+        a.commit_round(2)  # amending one's own current round is fine
+        a.commit_round(3)  # sequential is fine
         shutil.rmtree(d, ignore_errors=True)
 
     def test_live_lock_holder_conflicts_dead_lock_cleared(self, spark):
