@@ -667,7 +667,13 @@ def _run_round(
     ]
     if cfg.use_cuckoo:
         if rnd % cfg.filter_compact_every == 0:
-            all_seen = seen.unionByName(seen_delta) if seen is not None else seen_delta
+            # allowMissingColumns: a schema-evolved seen table (catalog
+            # add-column) is wider than this round's delta; the filter
+            # blobs consume url_hash only, so the nulls are harmless
+            all_seen = (
+                seen.unionByName(seen_delta, allowMissingColumns=True)
+                if seen is not None else seen_delta
+            )
             writes.append(lambda: cat.write_round(
                 "seen_filter",
                 S.compact_blobs(all_seen, cfg.n_filter_partitions, rnd),

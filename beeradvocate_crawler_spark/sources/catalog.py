@@ -92,6 +92,7 @@ class SnapshotCatalog:
         self.run_dir = run_dir
         os.makedirs(os.path.join(run_dir, "_manifests"), exist_ok=True)
         self._staged: dict[str, dict[str, Any]] = {}
+        self._staged_evolution: dict[str, list[dict[str, Any]]] = {}
         # write_round is called from concurrent driver threads (the
         # round loop overlaps independent table writes); the parquet
         # writes themselves are independent, only staging is shared
@@ -255,14 +256,13 @@ class SnapshotCatalog:
             )
         m = Manifest(r, {}, lineage or {}, metrics or {})
         prev_tables = prev.tables if prev else {}
-        names = set(prev_tables) | set(self._staged)
+        names = set(prev_tables) | set(self._staged) | set(self._staged_evolution)
         for name in names:
             staged = self._staged.get(name)
             old = prev_tables.get(name, {})
             if staged is None:
-                m.tables[name] = old  # carried forward unchanged
-                continue
-            if staged["mode"] == REPLACE:
+                m.tables[name] = dict(old)  # carried forward unchanged
+            elif staged["mode"] == REPLACE:
                 m.tables[name] = {
                     "mode": REPLACE,
                     "paths": [staged["path"]] if staged["path"] else old.get("paths", []),
@@ -282,13 +282,56 @@ class SnapshotCatalog:
                     "rows": old.get("rows", 0) + max(0, staged["rows"]),
                     "files": files,
                 }
+            # additive schema evolution: committed evolutions carry
+            # forward; newly staged ones append (Iceberg add-column)
+            evo = list(old.get("evolution", [])) + self._staged_evolution.get(
+                name, []
+            )
+            if evo:
+                m.tables[name]["evolution"] = evo
         mf = f"manifest-{r:06d}.json"
         with open(os.path.join(self.run_dir, "_manifests", mf), "w") as f:
             f.write(m.to_json())
-        self._write_pointer(r, mf)
         self._staged = {}
+        self._staged_evolution = {}
+        self._write_pointer(r, mf)
         self._base_round = r
         return m
+
+    # -- schema evolution (Iceberg add-column, additive only) -------------------
+    def evolve_table(
+        self, name: str, column: str, dtype: str, default: Any = None
+    ) -> None:
+        """Stage an ADDITIVE schema evolution: table ``name`` gains
+        ``column`` of Spark SQL type ``dtype``; rows written before the
+        evolution read back as ``default`` (NULL if None) — Iceberg's
+        add-column semantics over plain parquet.  Takes effect at the
+        next ``commit_round`` (amend the current round or ride the next
+        round's commit) and is recorded in the manifest, so time travel
+        to pre-evolution snapshots still reads the ORIGINAL schema.
+        Writers may keep producing the old schema after the bump —
+        ``read`` merges footer schemas and fills the default per file —
+        which is what lets a resumed crawl cross a schema-version
+        boundary without rewriting data or code.  Only add-column is
+        supported (rename/drop/retype are not — the crawl state tables
+        are append-heavy and additive covers the common evolution)."""
+        with self._stage_lock:
+            self._staged_evolution.setdefault(name, []).append(
+                {"column": column, "type": dtype, "default": default}
+            )
+
+    def _apply_evolution(self, df: DataFrame, evo: list[dict[str, Any]]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        for e in evo:
+            c, t, d = e["column"], e["type"], e.get("default")
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(t))
+            col = F.col(c).cast(t)
+            df = df.withColumn(
+                c, col if d is None else F.coalesce(col, F.lit(d).cast(t))
+            )
+        return df
 
     # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) -----------
     def compact_table(self, name: str, target_files: int | None = None) -> Manifest:
@@ -428,12 +471,22 @@ class SnapshotCatalog:
         if m is None:
             raise ValueError(f"no snapshot in {self.run_dir}")
         first_problems = None
-        r = m.round
-        while r >= 0:
-            try:
-                mr = self.manifest_for_round(r)
-            except FileNotFoundError:
-                break
+        # walk the manifests that EXIST, newest-first: round numbers are
+        # monotone but not contiguous (starved-round fast-forward), so
+        # decrementing a counter would stop at the first gap
+        mdir = os.path.join(self.run_dir, "_manifests")
+        rounds = sorted(
+            (
+                int(f[len("manifest-"):-len(".json")])
+                for f in os.listdir(mdir)
+                if f.startswith("manifest-") and f.endswith(".json")
+            ),
+            reverse=True,
+        )
+        for r in rounds:
+            if r > m.round:
+                continue  # orphaned newer manifest (post-rollback)
+            mr = self.manifest_for_round(r)
             probs = self.validate(mr)
             if not probs:
                 if r != m.round:
@@ -441,7 +494,6 @@ class SnapshotCatalog:
                 self._base_round = r
                 return mr
             first_problems = first_problems or probs
-            r -= 1
         raise ValueError(
             "no valid snapshot to resume from; latest problems: "
             + "; ".join((first_problems or [])[:5])
@@ -463,10 +515,20 @@ class SnapshotCatalog:
         m = manifest or self.latest()
         if m is None or name not in m.tables:
             return None
-        paths = m.tables[name].get("paths", [])
+        t = m.tables[name]
+        paths = t.get("paths", [])
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        evo = t.get("evolution") or []
+        if not evo:
+            return self.spark.read.parquet(*paths)
+        # evolved table: delta paths can mix pre- and post-evolution
+        # schemas — merge footer schemas, then fill each added column's
+        # default for files that predate it (Iceberg read-time
+        # projection).  mergeSchema costs one footer read per file,
+        # already paid by the lineage inventory at write time.
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._apply_evolution(df, evo)
 
     def rows(self, name: str, manifest: Manifest | None = None) -> int:
         m = manifest or self.latest()
