@@ -534,7 +534,7 @@ def q_minhash_lsh_dedup(spark, sf):
 SQL_MINHASH_LSH = _sql_jaccard_pairs(SQL_DOCS_WITH_NEAR_COPIES, NEAR_DUP_J, same_source=False)
 
 
-def q_near_dup_keep(spark, sf):
+def q_near_dup_keep(spark, sf, dp=None):
     """Dedup DECISION op: the kept-document set under the lowest-id-wins
     rule — a doc is dropped iff it near-dup-pairs (exact Jaccard >=
     0.8 via the LSH pipeline) with a smaller doc_id.  This is the op a
@@ -542,8 +542,14 @@ def q_near_dup_keep(spark, sf):
     keep set is the output); one-hop rule rather than connected
     components so it is order-free and exactly SQL-expressible.
     Scale shape: pairs are LSH-bounded, the keep filter is one
-    left-anti join on doc_id."""
-    docs, pairs = _minhash_verified_pairs(spark, sf)
+    left-anti join on doc_id.
+
+    ``dp``: optional pre-built (docs, pairs) from
+    _minhash_verified_pairs — q_near_dup_keep_sets builds the pair
+    pipeline ONCE and threads it into both variants (round-4 VERDICT
+    #3's double-run pattern; _minhash_verified_pairs starts with
+    release_caches(), so two independent calls rebuild everything)."""
+    docs, pairs = dp if dp is not None else _minhash_verified_pairs(spark, sf)
     losers = pairs.select(F.col("d2").alias("doc_id")).distinct()
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
 
@@ -614,7 +620,7 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
     raise RuntimeError(f"connected components did not converge in {max_iter} sweeps")
 
 
-def q_near_dup_keep_cc(spark, sf):
+def q_near_dup_keep_cc(spark, sf, dp=None):
     """Dedup decision op, TRANSITIVE-closure variant: connected
     components over the verified near-dup pair graph, keep the lowest
     doc_id per component (docs in no pair are kept).  This is the
@@ -624,8 +630,9 @@ def q_near_dup_keep_cc(spark, sf):
     pinned by tests/test_textops_cc.py.  Oracle twin: DuckDB recursive
     CTE over the same pair set.  Iterative label propagation is not
     single-pass SQL, but its FIXPOINT is — the driver hash-checks the
-    result."""
-    docs, pairs = _minhash_verified_pairs(spark, sf)
+    result.  ``dp``: optional shared (docs, pairs) — see
+    q_near_dup_keep."""
+    docs, pairs = dp if dp is not None else _minhash_verified_pairs(spark, sf)
     edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     comp = connected_components_min_label(edges)
     losers = comp.where(F.col("lbl") < F.col("node")).select(
@@ -1914,11 +1921,16 @@ def q_near_dup_keep_sets(spark, sf):
     """D3+D3b on one signed slot: the one-hop lowest-id-wins keep set
     and the transitive connected-components keep set, union-tagged by
     ``variant`` — the pair the CC tests pin as genuinely different
-    (tests/test_textops_cc.py)."""
-    one = q_near_dup_keep(spark, sf).select(
+    (tests/test_textops_cc.py).  The LSH pair pipeline (shingles →
+    minhash → bucket join → exact verify) is built and persisted ONCE
+    and threaded into both variants — two independent calls would
+    rebuild it from scratch (the round-4 bench paid the graph family's
+    version of this twice)."""
+    dp = _minhash_verified_pairs(spark, sf)
+    one = q_near_dup_keep(spark, sf, dp=dp).select(
         F.lit("onehop").alias("variant"), "doc_id"
     )
-    cc = q_near_dup_keep_cc(spark, sf).select(
+    cc = q_near_dup_keep_cc(spark, sf, dp=dp).select(
         F.lit("cc").alias("variant"), "doc_id"
     )
     return one.unionByName(cc)
