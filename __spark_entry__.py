@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance": G.q_seed_distance,
         "recrawl_schedule": R.q_recrawl_schedule,
         "sitemap_frontier": R.q_sitemap_frontier,
+        # production fixpoint graph modes (converge-until-delta):
+        # iterative, so sanctioned rows-only — the pure-Python twins in
+        # tests/test_graph.py pin the masses AND sweep counts
+        "graph_fixpoint": G.q_graph_fixpoint,
     }
 
 

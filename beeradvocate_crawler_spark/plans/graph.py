@@ -431,6 +431,48 @@ FROM ({SQL_SEED_DISTANCE}) bfs_t
 # localCheckpoint'd eagerly — the same lineage-cut discipline the CC
 # loop needed (textops.py: 3.9 -> 48 s/sweep without it).
 
+def q_graph_fixpoint(spark, sf):
+    """Registry entry for the production fixpoint modes: run integer
+    PageRank (symmetrized graph) and integer HITS (directed graph) TO
+    CONVERGENCE (tol 16 micro-units) instead of the grid twins' fixed
+    sweep counts; returns top-10 per signal, union-tagged
+    (signal, node, score, rnk, sweeps).  Iterative-until-delta is not
+    single-pass SQL, so this is a sanctioned rows-only entry [E:36–37];
+    the masses themselves are deterministic integers and the pure-
+    Python twins pin them (tests/test_graph.py).
+
+    Tolerance is scale-appropriate, not the twins' 16 micro-units: with
+    d=0.85 the max-delta contracts by ~0.85/sweep (measured at sf0.01:
+    1.14e7 → 1.2e5 over 30 sweeps), so 1%-of-initial-mass (10_000)
+    lands around 40 sweeps while 16 would need ~85 — rank order
+    stabilizes far earlier than the last micro-unit of mass."""
+    pr_df, pr_sweeps = pagerank_fixpoint(
+        _edges(spark, sf), tol_micro=10_000, max_sweeps=128
+    )
+    auth, hub, hits_sweeps = hits_fixpoint(
+        _fwd_edges(spark, sf), tol_micro=10_000, max_sweeps=128
+    )
+    pr10 = (
+        pr_df.orderBy(F.col("pr").desc(), "node").limit(10)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.col("pr").desc(), "node"))
+        )
+        .select(
+            F.lit("pagerank_fp").alias("signal"), "node",
+            F.col("pr").cast("long").alias("score"), F.col("rnk").cast("int").alias("rnk"),
+            F.lit(pr_sweeps).cast("int").alias("sweeps"),
+        )
+    )
+    ht10 = _topk_ranked(auth, "auth_fp", "a", "dst").unionByName(
+        _topk_ranked(hub, "hub_fp", "h", "src")
+    ).select(
+        F.col("kind").alias("signal"), "node", "score",
+        F.col("rnk").cast("int").alias("rnk"),
+        F.lit(hits_sweeps).cast("int").alias("sweeps"),
+    )
+    return pr10.unionByName(ht10)
+
+
 def pagerank_fixpoint(edges, tol_micro: int = 16, max_sweeps: int = 64):
     """Iterate integer PageRank until masses are stable within
     ``tol_micro`` micro-units.  Returns ``(pr_df, n_sweeps)`` where

@@ -188,6 +188,9 @@ def main() -> int:
         "near_dup_keep", "near_dup_keep_cc", "lang_id", "quality_score",
         "pagerank_links", "hits_links", "seed_distance",
         "recrawl_schedule", "sitemap_frontier",
+        # not a twin but converge-until-delta: ~40 sweeps at 1% tol —
+        # the fixed-sweep graph_signals entry is the timed graph slot
+        "graph_fixpoint",
     }
     items = [
         (n, f) for n, f in E.queries().items()
