@@ -12,12 +12,26 @@ class CrawlConfig:
     # and cluster-size-independent)
     round_seconds: int = 16
     max_rounds: int = 100000
+    # RFC 9309 product token the crawler advertises for robots group
+    # selection (functions/robots.py::parse_robots): None -> only the
+    # `User-agent: *` groups apply (the default, and the reference
+    # behavior); a token selects case-insensitive matching groups and
+    # then the `*` groups do NOT apply.  The sequential oracle takes
+    # the same parameter, so the e2e differential covers it.
+    user_agent: str | None = None
     # cuckoo-filter seen pre-filter (A8); exact anti-join stays authoritative.
     # Partition count caps the parallelism of the two Python blob stages
     # (probe cogroup + delta build) — 8 was a measured 4->16-thread
     # scaling sink in the heavy rounds; results are partition-count
     # independent (the exact anti-join is the authority)
     use_cuckoo: bool = True
+    # which approximate membership structure backs the pre-filter blobs
+    # (north rule "bloom/cuckoo URL-seen" [B:14]): "cuckoo" (16-bit fp,
+    # ~0.012% FPR, ~19 bits/key) or "bloom" (blocked 512-bit lines,
+    # ~0.5% FPR, 12 bits/key, overflow-free).  Blobs self-describe, so
+    # a resume may switch kinds mid-crawl; outputs are identical either
+    # way — the exact anti-join stays authoritative (§7.1).
+    filter_kind: str = "cuckoo"
     n_filter_partitions: int = 32
     # probe the filter only once `seen` exceeds this many rows: the
     # filter exists to avoid shuffling a HUGE seen table — while seen

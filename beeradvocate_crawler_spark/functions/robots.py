@@ -1,11 +1,15 @@
-"""robots.txt parsing + longest-prefix matching (SURVEY.md §2 A10).
+"""robots.txt parsing + most-specific-rule matching (SURVEY.md §2 A10).
 
-Semantics (subset of urllib.robotparser, deterministic):
+Semantics (RFC 9309 subset, deterministic):
 - only the ``User-agent: *`` group applies (the engine advertises no
   specific agent);
-- ``Allow`` / ``Disallow`` rules are raw path(+query) prefixes — the
-  match target for URL u is ``path + ('?' + query if query)``;
-- the longest matching prefix wins; on equal length Allow wins;
+- ``Allow`` / ``Disallow`` rules match against ``path + ('?' + query
+  if query)``; a rule is a literal prefix unless it uses the RFC 9309
+  special characters — ``*`` matches any span of characters and a
+  TRAILING ``$`` anchors the match at end-of-path (a ``$`` anywhere
+  else is literal, per RFC 9309 §2.2.3);
+- the most specific rule wins = longest rule pattern in octets (the
+  reference matcher convention); on equal length Allow wins;
 - no matching rule, or empty Disallow value -> allowed;
 - ``Crawl-delay`` in the * group sets the host's politeness delay
   (seconds of *logical* round time, SURVEY.md §4.2).
@@ -17,9 +21,31 @@ allow/deny join (rules as rows, longest-prefix via a ranking window).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 DEFAULT_CRAWL_DELAY = 1.0
+
+# compiled wildcard-rule regexes, keyed by rule text; rules tables are
+# tiny (robots files cap at ~500 KiB per RFC 9309) so this never grows
+# meaningfully
+_RX_CACHE: dict[str, re.Pattern] = {}
+
+
+def rule_matches(rule: str, path_query: str) -> bool:
+    """RFC 9309 rule match: literal prefix unless the rule uses ``*``
+    (any span) or a trailing ``$`` (end anchor).  The relational twin
+    is operators/politeness.py::rule_match_expr — the two are
+    differential-tested over the same rule/path grid."""
+    if "*" not in rule and not rule.endswith("$"):
+        return path_query.startswith(rule)
+    rx = _RX_CACHE.get(rule)
+    if rx is None:
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        pat = ".*".join(re.escape(part) for part in body.split("*"))
+        rx = _RX_CACHE[rule] = re.compile(pat + (r"\Z" if anchored else ""))
+    return rx.match(path_query) is not None
 
 
 @dataclass
@@ -35,7 +61,7 @@ class RobotsRules:
         best_len = -1
         best_allow = True
         for _ord, allow, prefix in self.rules:
-            if prefix and path_query.startswith(prefix):
+            if prefix and rule_matches(prefix, path_query):
                 plen = len(prefix)
                 if plen > best_len or (plen == best_len and allow and not best_allow):
                     best_len = plen
@@ -46,15 +72,22 @@ class RobotsRules:
 ALLOW_ALL = RobotsRules()
 
 
-def parse_robots(body: str) -> RobotsRules:
-    """Parse a robots.txt body; returns the ``User-agent: *`` group's
-    rules (allow-all if the group is absent or the body is empty)."""
-    rules: list[tuple[int, bool, str]] = []
-    crawl_delay = DEFAULT_CRAWL_DELAY
+def parse_robots(body: str, agent: str | None = None) -> RobotsRules:
+    """Parse a robots.txt body with RFC 9309 group semantics.
+
+    Groups: a run of adjacent ``User-agent:`` lines opens one group
+    whose members are ALL the run's tokens (a ``User-agent`` line
+    after rules starts a new group).  Selection (RFC 9309 §2.2.1):
+    when ``agent`` is given and any group names it (case-insensitive
+    product-token match), the rules of ALL such groups are combined
+    and the ``*`` groups do NOT apply; otherwise the combined ``*``
+    groups apply; a body with neither is allow-all.  ``Crawl-delay``
+    is taken from the selected groups (last wins); ``Sitemap:`` is a
+    global directive collected from the whole file."""
+    # each group: (agents set, [(allow, rule)], crawl_delay | None)
+    groups: list[tuple[set[str], list[tuple[bool, str]], float | None]] = []
     sitemaps: list[str] = []
-    in_star = False
-    seen_star_group = False
-    ord_ = 0
+    open_agents: set[str] | None = None  # a UA run still accepting tokens
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -63,19 +96,39 @@ def parse_robots(body: str) -> RobotsRules:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            in_star = val == "*"
-            seen_star_group = seen_star_group or in_star
-        elif in_star and key in ("allow", "disallow"):
-            if val:  # empty Disallow == allow everything; skip the rule
-                rules.append((ord_, key == "allow", val))
-                ord_ += 1
-        elif in_star and key == "crawl-delay":
-            try:
-                crawl_delay = float(val)
-            except ValueError:
-                pass
-        elif key == "sitemap" and val:
-            sitemaps.append(val)
-    if not seen_star_group:
-        return RobotsRules([], DEFAULT_CRAWL_DELAY, sitemaps)
-    return RobotsRules(rules, crawl_delay, sitemaps)
+            tok = val.lower()
+            if open_agents is None:
+                open_agents = {tok}
+                groups.append((open_agents, [], None))
+            else:
+                open_agents.add(tok)
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
+        elif key in ("allow", "disallow", "crawl-delay"):
+            open_agents = None  # next UA line starts a new group
+            if not groups:
+                continue  # rules before any User-agent line: no group
+            agents, rules, delay = groups[-1]
+            if key == "crawl-delay":
+                try:
+                    groups[-1] = (agents, rules, float(val))
+                except ValueError:
+                    pass
+            elif val:  # empty Disallow == allow everything; skip the rule
+                rules.append((key == "allow", val))
+
+    want = (agent or "").lower()
+    selected = [g for g in groups if want and want in g[0]]
+    if not selected:
+        selected = [g for g in groups if "*" in g[0]]
+        if not selected:
+            return RobotsRules([], DEFAULT_CRAWL_DELAY, sitemaps)
+    out: list[tuple[int, bool, str]] = []
+    crawl_delay = DEFAULT_CRAWL_DELAY
+    for _agents, rules, delay in selected:
+        for allow, rule in rules:
+            out.append((len(out), allow, rule))
+        if delay is not None:
+            crawl_delay = delay
+    return RobotsRules(out, crawl_delay, sitemaps)

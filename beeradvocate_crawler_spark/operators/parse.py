@@ -159,7 +159,7 @@ def _reviews_arr(html: pd.Series, url: pd.Series) -> pd.Series:
     return out
 
 
-def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _parse_batch(pdf: pd.DataFrame, agent: str | None = None) -> pd.DataFrame:
     n = len(pdf)
     url = pdf["url"]
     html_b = pdf["html"]
@@ -186,7 +186,8 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     m = ok & (pt == "robots")
     if m.any():
         bodies = html[m]
-        rules = bodies.map(parse_robots)  # tiny cardinality: one per host
+        # tiny cardinality: one per host; agent selects the RFC 9309 group
+        rules = bodies.map(lambda b: parse_robots(b, agent))
         out.loc[m, "text"] = bodies
         out.loc[m, "record_json"] = rules.map(
             lambda r: _dumps(
@@ -264,13 +265,15 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def parse_fetched(fetched: DataFrame) -> DataFrame:
-    """fetched: (url, page_type, html|null, ...) -> PARSE_SCHEMA rows."""
+def parse_fetched(fetched: DataFrame, agent: str | None = None) -> DataFrame:
+    """fetched: (url, page_type, html|null, ...) -> PARSE_SCHEMA rows.
+    ``agent`` is the advertised RFC 9309 product token for robots group
+    selection (CrawlConfig.user_agent); None keeps `*`-group-only."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _parse_batch(pdf)
+                yield _parse_batch(pdf, agent)
 
     return fetched.select("url", "page_type", "html").mapInPandas(gen, PARSE_SCHEMA)
 

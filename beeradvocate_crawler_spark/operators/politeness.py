@@ -35,6 +35,31 @@ from .ordering import order_key
 TOKEN_BURST_FACTOR = 2.0
 
 
+def rule_match_expr(pq, rule):
+    """RFC 9309 rule match as a pure column expression — the relational
+    twin of functions/robots.py::rule_matches (differential-tested over
+    the same rule/path grid, tests/test_functions.py).
+
+    Literal rules (no ``*``, no trailing ``$`` — every rule in the
+    reference site model) keep the codegen'd ``startswith`` fast path;
+    wildcard rules are translated to a Java regex IN-PLAN (escape all
+    metacharacters, then escaped ``\\*`` -> ``.*``, then a trailing
+    escaped ``\\$`` back into the end anchor) and matched with a
+    per-row RLIKE.  Rules tables are tiny and broadcast, so the
+    non-foldable-regex cost is bounded by candidate count, and only
+    wildcard-bearing rules pay it."""
+    has_wild = rule.contains("*") | rule.endswith("$")
+    esc = F.regexp_replace(rule, "([^a-zA-Z0-9_])", "\\\\$1")
+    star = F.regexp_replace(esc, "\\\\\\*", ".*")
+    body = F.when(
+        rule.endswith("$"),
+        F.concat(star.substr(F.lit(1), F.length(star) - F.lit(2)), F.lit("$")),
+    ).otherwise(star)
+    return F.when(
+        has_wild, F.regexp_like(pq, F.concat(F.lit("^"), body))
+    ).otherwise(pq.startswith(rule))
+
+
 def mark_robots_blocked(
     pending: DataFrame, host_state: DataFrame, rules: DataFrame | None
 ) -> DataFrame:
@@ -50,7 +75,7 @@ def mark_robots_blocked(
         return cand.select("url").limit(0)
     matched = cand.join(
         F.broadcast(rules), on=["host"], how="inner"
-    ).where(F.col("pq").startswith(F.col("prefix")))
+    ).where(rule_match_expr(F.col("pq"), F.col("prefix")))
     w = Window.partitionBy("url").orderBy(
         F.length("prefix").desc(), F.col("allow").desc()
     )
@@ -134,7 +159,7 @@ def decide_round(
             pending.filter(F.col("page_type") != "robots")
             .select("url", "host", path_query_expr(F.col("url")).alias("pq"))
             .join(F.broadcast(rules), ["host"])
-            .where(F.col("pq").startswith(F.col("prefix")))
+            .where(rule_match_expr(F.col("pq"), F.col("prefix")))
             .groupBy("url")
             .agg(F.max(F.struct(F.length("prefix").alias("l"), "allow")).alias("m"))
             .select("url", (~F.col("m.allow")).alias("_disallowed"))

@@ -98,6 +98,7 @@ def crawl(
     seeds: list[str],
     round_seconds: int = 16,
     max_rounds: int = 100000,
+    user_agent: str | None = None,
 ) -> CrawlResult:
     """corpus: canonical url -> page dict with 'html' (bytes) at least."""
     frontier: dict[str, FrontierRow] = {}
@@ -206,7 +207,7 @@ def crawl(
                 continue
             html = page["html"].decode("utf-8")
             if row.page_type == "robots":
-                robots_known_next[row.host] = parse_robots(html)
+                robots_known_next[row.host] = parse_robots(html, user_agent)
                 texts[row.url] = html  # robots text == raw body
                 continue
             texts[row.url] = html_to_text(html)

@@ -131,7 +131,8 @@ def run(
     if cfg.use_cuckoo:
         cat.write_round(
             "seen_filter",
-            S.build_delta_blobs(seen0, cfg.n_filter_partitions, 0),
+            S.build_delta_blobs(seen0, cfg.n_filter_partitions, 0,
+                                kind=cfg.filter_kind),
             0, DELTA, skip_if_empty=False,
         )
     # host-count upper bound (drives broadcast-vs-shuffle host joins);
@@ -166,7 +167,8 @@ def resume(
     if cfg.use_cuckoo and cat.read("seen_filter") is None and cat.read("seen") is not None:
         cat.write_round(
             "seen_filter",
-            S.compact_blobs(cat.read("seen"), cfg.n_filter_partitions, m.round),
+            S.compact_blobs(cat.read("seen"), cfg.n_filter_partitions, m.round,
+                            kind=cfg.filter_kind),
             m.round, REPLACE, skip_if_empty=False,
         )
         cat.commit_round(m.round, lineage=m.lineage, metrics=m.metrics)
@@ -483,7 +485,7 @@ def _run_round(
                                 n_rows=n_blocked + n_admitted),
     ]
     early_fut = ex_early.submit(_write_all, early_writes)
-    cat.write_round("parsed", parse_fetched(fetched), rnd, DELTA,
+    cat.write_round("parsed", parse_fetched(fetched, cfg.user_agent), rnd, DELTA,
                     n_rows=n_admitted)
     _prof(rnd, t0, "fetch+parse+write done")
     parsed = cat.read_staged("parsed")
@@ -676,14 +678,15 @@ def _run_round(
             )
             writes.append(lambda: cat.write_round(
                 "seen_filter",
-                S.compact_blobs(all_seen, cfg.n_filter_partitions, rnd),
+                S.compact_blobs(all_seen, cfg.n_filter_partitions, rnd,
+                                kind=cfg.filter_kind),
                 rnd, REPLACE, skip_if_empty=False,
             ))
         elif n_new:
             writes.append(lambda: cat.write_round(
                 "seen_filter",
                 S.build_delta_blobs(new_frontier, cfg.n_filter_partitions, rnd,
-                                    n_rows=n_new),
+                                    n_rows=n_new, kind=cfg.filter_kind),
                 rnd, DELTA, skip_if_empty=False,
             ))
     lineage = {"next_rank": next_rank + n_admitted, "config": asdict(cfg),
