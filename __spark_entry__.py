@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance": G.q_seed_distance,
         "recrawl_schedule": R.q_recrawl_schedule,
         "sitemap_frontier": R.q_sitemap_frontier,
+        # A10 RFC 9309 wildcard/anchor rule matcher as a relational
+        # query (round 5) — hand-anchored RE2 oracle twin
+        "robots_match": R.q_robots_match,
         # production fixpoint graph modes (converge-until-delta):
         # iterative, so sanctioned rows-only — the pure-Python twins in
         # tests/test_graph.py pin the masses AND sweep counts
@@ -234,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_scheduling": R.SQL_CRAWL_SCHEDULING,
         "recrawl_schedule": R.SQL_RECRAWL,
         "sitemap_frontier": R.SQL_SITEMAP,
+        "robots_match": R.SQL_ROBOTS_MATCH,
         "corpus_pipeline": X.SQL_CORPUS_PIPELINE,
         "hits_links": G.SQL_HITS,
         "seed_distance": G.SQL_SEED_DISTANCE,

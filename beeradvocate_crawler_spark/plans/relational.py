@@ -1050,3 +1050,97 @@ SELECT 'recrawl' AS op, page_id::VARCHAR AS key, n_fetches::VARCHAR AS attr1,
        staleness_q::BIGINT AS qty
 FROM ({SQL_RECRAWL}) rc_t
 """
+
+
+def q_robots_match(spark, sf):
+    """A10 relational twin over the RFC 9309 matcher (round 5):
+    ``rule_match_expr`` (operators/politeness.py) — codegen'd
+    literal-prefix fast path + in-plan wildcard/trailing-``$``
+    translation to a Java regex — applied to a synthesized path grid
+    × a broadcast rules table; the most specific rule wins (longest
+    pattern in octets, Allow on ties), no match → allowed.  This is
+    exactly the decision ``mark_robots_blocked`` makes per frontier
+    candidate, as a driver-signable query: the oracle carries the same
+    grid with HAND-anchored RE2 regexes, so any drift in the in-plan
+    escape/translate logic hash-fails rather than silently admitting
+    a disallowed URL.  Scale shape: rules tables are tiny (RFC 9309
+    caps robots.txt at ~500 KiB) and broadcast; the candidate side is
+    scanned once, never shuffled."""
+    from ..operators.politeness import rule_match_expr
+
+    d = ld(spark, sf, "documents")
+    pq = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("/beer/profile/"), F.col("doc_id"), F.lit("/")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("/beer/profile/"), F.col("doc_id"),
+                       F.lit("/view.php")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("/place/list/?c_id="), F.col("doc_id")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("/private/u"), F.col("doc_id"), F.lit("/data")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("/static/img"), F.col("doc_id"), F.lit(".png")))
+        .otherwise(F.concat(F.lit("/other/"), F.col("doc_id")))
+    )
+    paths = d.select("doc_id", pq.alias("pq"))
+    rules = spark.createDataFrame(
+        [
+            (0, False, "/private/"),          # literal disallow
+            (1, True, "/private/u1"),         # longer literal allow wins
+            (2, False, "/*.png$"),            # wildcard + end anchor
+            (3, False, "/beer/*/view.php"),   # wildcard beats /beer/profile/
+            (4, True, "/beer/profile/"),
+            (5, False, "/place/list/?c_id=3"),  # literal '?' stays literal
+        ],
+        "rule_ord int, allow boolean, rule string",
+    )
+    m = paths.join(F.broadcast(rules),
+                   rule_match_expr(F.col("pq"), F.col("rule")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("rule").desc(), F.col("allow").desc(), F.col("rule_ord"))
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("allow").alias("_a"))
+    )
+    return (
+        paths.join(best, "doc_id", "left")
+        .select("doc_id", "pq",
+                F.coalesce("_a", F.lit(True)).alias("allowed"))
+    )
+
+
+SQL_ROBOTS_MATCH = """
+WITH paths AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN '/beer/profile/' || doc_id || '/'
+           WHEN 1 THEN '/beer/profile/' || doc_id || '/view.php'
+           WHEN 2 THEN '/place/list/?c_id=' || doc_id
+           WHEN 3 THEN '/private/u' || doc_id || '/data'
+           WHEN 4 THEN '/static/img' || doc_id || '.png'
+           ELSE '/other/' || doc_id END AS pq
+  FROM documents
+), rules(rule_ord, allow, rule, rx) AS (
+  SELECT * FROM (VALUES
+    (0, FALSE, '/private/',           CAST(NULL AS VARCHAR)),
+    (1, TRUE,  '/private/u1',         NULL),
+    (2, FALSE, '/*.png$',             '^/.*\\.png$'),
+    (3, FALSE, '/beer/*/view.php',    '^/beer/.*/view\\.php'),
+    (4, TRUE,  '/beer/profile/',      NULL),
+    (5, FALSE, '/place/list/?c_id=3', NULL)) v
+), m AS (
+  SELECT p.doc_id, r.allow, length(r.rule) AS l, r.rule_ord
+  FROM paths p JOIN rules r
+    ON CASE WHEN r.rx IS NULL THEN starts_with(p.pq, r.rule)
+            ELSE regexp_matches(p.pq, r.rx) END
+), best AS (
+  SELECT doc_id, allow,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY l DESC, allow DESC, rule_ord) AS rn
+  FROM m
+)
+SELECT p.doc_id, p.pq, coalesce(b.allow, TRUE) AS allowed
+FROM paths p LEFT JOIN best b ON p.doc_id = b.doc_id AND b.rn = 1
+"""
