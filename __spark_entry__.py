@@ -162,8 +162,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": R.q_recrawl_schedule,
         "sitemap_frontier": R.q_sitemap_frontier,
         # A10 RFC 9309 wildcard/anchor rule matcher as a relational
-        # query (round 5) — hand-anchored RE2 oracle twin
+        # query (round 5) — hand-anchored RE2 oracle twin; also rides
+        # the signed crawl_scheduling union slot
         "robots_match": R.q_robots_match,
+        # D24 paragraph-level exact dedup (CCNet preprocessing step,
+        # round 5) — one-shuffle window dedup + per-doc reassembly
+        "paragraph_dedup": X.q_paragraph_dedup,
         # production fixpoint graph modes (converge-until-delta):
         # iterative, so sanctioned rows-only — the pure-Python twins in
         # tests/test_graph.py pin the masses AND sweep counts
@@ -238,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": R.SQL_RECRAWL,
         "sitemap_frontier": R.SQL_SITEMAP,
         "robots_match": R.SQL_ROBOTS_MATCH,
+        "paragraph_dedup": X.SQL_PARAGRAPH_DEDUP,
         "corpus_pipeline": X.SQL_CORPUS_PIPELINE,
         "hits_links": G.SQL_HITS,
         "seed_distance": G.SQL_SEED_DISTANCE,

@@ -1017,41 +1017,6 @@ FROM entries
 """
 
 
-def q_crawl_scheduling(spark, sf):
-    """A21+A22 on one signed slot (round-4 VERDICT ask #3): sitemap
-    ingestion and freshness-driven recrawl scheduling are the two
-    frontier-feeding schedulers; union-tagged by ``op`` with every
-    column of both ops preserved (sitemap packs source|lastmod into
-    ``attr1``; recrawl packs last_epoch|gap_sec into ``attr2``)."""
-    sm = q_sitemap_frontier(spark, sf).select(
-        F.lit("sitemap").alias("op"),
-        F.col("url").alias("key"),
-        F.concat_ws("|", "source", "lastmod").alias("attr1"),
-        F.col("changefreq").alias("attr2"),
-        F.col("priority").cast("long").alias("qty"),
-    )
-    rc = q_recrawl_schedule(spark, sf).select(
-        F.lit("recrawl").alias("op"),
-        F.col("page_id").cast("string").alias("key"),
-        F.col("n_fetches").cast("string").alias("attr1"),
-        F.concat_ws("|", "last_epoch", "gap_sec").alias("attr2"),
-        F.col("staleness_q").cast("long").alias("qty"),
-    )
-    return sm.unionByName(rc)
-
-
-SQL_CRAWL_SCHEDULING = f"""
-SELECT 'sitemap' AS op, url AS key, source || '|' || lastmod AS attr1,
-       changefreq AS attr2, priority::BIGINT AS qty
-FROM ({SQL_SITEMAP}) sm_t
-UNION ALL
-SELECT 'recrawl' AS op, page_id::VARCHAR AS key, n_fetches::VARCHAR AS attr1,
-       last_epoch::VARCHAR || '|' || gap_sec::VARCHAR AS attr2,
-       staleness_q::BIGINT AS qty
-FROM ({SQL_RECRAWL}) rc_t
-"""
-
-
 def q_robots_match(spark, sf):
     """A10 relational twin over the RFC 9309 matcher (round 5):
     ``rule_match_expr`` (operators/politeness.py) — codegen'd
@@ -1143,4 +1108,54 @@ WITH paths AS (
 )
 SELECT p.doc_id, p.pq, coalesce(b.allow, TRUE) AS allowed
 FROM paths p LEFT JOIN best b ON p.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+def q_crawl_scheduling(spark, sf):
+    """A21+A22+A10 on one signed slot: sitemap ingestion and
+    freshness-driven recrawl scheduling (the two frontier-feeding
+    schedulers, round-4 VERDICT ask #3) plus the RFC 9309 robots rule
+    matcher (round 5 — the frontier-FILTERING scheduler decision);
+    union-tagged by ``op`` with every column of each op preserved
+    (sitemap packs source|lastmod into ``attr1``; recrawl packs
+    last_epoch|gap_sec into ``attr2``; robots carries doc_id in
+    ``attr1`` and the allow/deny decision in ``attr2``/``qty``)."""
+    sm = q_sitemap_frontier(spark, sf).select(
+        F.lit("sitemap").alias("op"),
+        F.col("url").alias("key"),
+        F.concat_ws("|", "source", "lastmod").alias("attr1"),
+        F.col("changefreq").alias("attr2"),
+        F.col("priority").cast("long").alias("qty"),
+    )
+    rc = q_recrawl_schedule(spark, sf).select(
+        F.lit("recrawl").alias("op"),
+        F.col("page_id").cast("string").alias("key"),
+        F.col("n_fetches").cast("string").alias("attr1"),
+        F.concat_ws("|", "last_epoch", "gap_sec").alias("attr2"),
+        F.col("staleness_q").cast("long").alias("qty"),
+    )
+    rb = q_robots_match(spark, sf).select(
+        F.lit("robots").alias("op"),
+        F.col("pq").alias("key"),
+        F.col("doc_id").cast("string").alias("attr1"),
+        F.when(F.col("allowed"), F.lit("allow")).otherwise(F.lit("deny")).alias("attr2"),
+        F.col("allowed").cast("long").alias("qty"),
+    )
+    return sm.unionByName(rc).unionByName(rb)
+
+
+SQL_CRAWL_SCHEDULING = f"""
+SELECT 'sitemap' AS op, url AS key, source || '|' || lastmod AS attr1,
+       changefreq AS attr2, priority::BIGINT AS qty
+FROM ({SQL_SITEMAP}) sm_t
+UNION ALL
+SELECT 'recrawl' AS op, page_id::VARCHAR AS key, n_fetches::VARCHAR AS attr1,
+       last_epoch::VARCHAR || '|' || gap_sec::VARCHAR AS attr2,
+       staleness_q::BIGINT AS qty
+FROM ({SQL_RECRAWL}) rc_t
+UNION ALL
+SELECT 'robots' AS op, pq AS key, doc_id::VARCHAR AS attr1,
+       CASE WHEN allowed THEN 'allow' ELSE 'deny' END AS attr2,
+       (CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS qty
+FROM ({SQL_ROBOTS_MATCH}) rb_t
 """

@@ -1941,3 +1941,71 @@ SELECT 'onehop' AS variant, doc_id FROM ({SQL_NEAR_DUP_KEEP}) a
 UNION ALL
 SELECT 'cc' AS variant, doc_id FROM ({SQL_NEAR_DUP_KEEP_CC}) b
 """
+
+
+def q_paragraph_dedup(spark, sf):
+    """D24 (round 5): paragraph-level exact deduplication — the
+    CCNet / Common-Crawl preprocessing step (Wenzek et al. 2020) that
+    removes REPEATED PARAGRAPHS across a corpus (boilerplate, headers,
+    licence blocks) while keeping each paragraph's first occurrence,
+    then reassembles the surviving text per document.
+
+    The synthetic corpus has no newline structure, so "paragraph" is a
+    deterministic 8-word chunk, computed IN-PLAN (split + sequence +
+    transform + slice — whole-stage codegen, no Python).  Global
+    first-occurrence is a row_number window over (doc_id, pos) per
+    normalized paragraph: ONE shuffle of the paragraph stream, chosen
+    over groupBy-min + join-back (two shuffles of the same fat text
+    column) — at 100 TB the paragraph text crosses the wire exactly
+    once.  Reassembly is a per-doc hash-agg: collect kept (pos, para)
+    structs, array_sort, join with newlines — order-deterministic by
+    construction, never dependent on partition iteration order."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * F.lit(8) + F.lit(1), 8), " "),
+    )
+    p = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    r = p.withColumn("rn", F.row_number().over(w))
+    kept_arr = F.array_sort(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "para")))
+    )
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.concat_ws(
+            "\n", F.transform(kept_arr, lambda s: s["para"])
+        ).alias("kept_text"),
+    )
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH chunked AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(array_length(string_split(text, ' ')) / 8.0) AS INT)),
+           i -> struct_pack(
+             pos := i,
+             para := array_to_string(
+               list_slice(string_split(text, ' '), i*8+1, i*8+8), ' '))
+         ) AS pl
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(pl, recursive := true)
+  FROM chunked
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p
+)
+SELECT doc_id,
+       count(*) AS n_paras,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos),
+                '') AS kept_text
+FROM ranked
+GROUP BY doc_id
+"""
