@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D24 paragraph-level exact dedup (CCNet preprocessing step,
         # round 5) — one-shuffle window dedup + per-doc reassembly
         "paragraph_dedup": X.q_paragraph_dedup,
+        # D25 PII redaction (C4/Dolma scrub step, round 5) — pure map
+        # pass, three chained regexes identical on both engines
+        "pii_redact": X.q_pii_redact,
         # production fixpoint graph modes (converge-until-delta):
         # iterative, so sanctioned rows-only — the pure-Python twins in
         # tests/test_graph.py pin the masses AND sweep counts
@@ -243,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_frontier": R.SQL_SITEMAP,
         "robots_match": R.SQL_ROBOTS_MATCH,
         "paragraph_dedup": X.SQL_PARAGRAPH_DEDUP,
+        "pii_redact": X.SQL_PII_REDACT,
         "corpus_pipeline": X.SQL_CORPUS_PIPELINE,
         "hits_links": G.SQL_HITS,
         "seed_distance": G.SQL_SEED_DISTANCE,

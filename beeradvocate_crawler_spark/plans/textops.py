@@ -2009,3 +2009,86 @@ SELECT doc_id,
 FROM ranked
 GROUP BY doc_id
 """
+
+
+# Identical pattern text on both engines (Java regex and RE2 agree on
+# these constructs: char classes, bounded quantifiers, \b, \d) — the
+# differential hash is the proof they stayed agreeing.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark, sf):
+    """D25 (round 5): PII scrubbing — the C4/Dolma preprocessing step
+    that redacts emails, US-style phone numbers, and IPv4 addresses
+    before training, with per-doc redaction counts for audit.  The
+    synthetic corpus carries no PII, so the query SEEDS deterministic
+    PII spans in-plan first (same device as q_classify_urls' synthetic
+    URLs) — the op under test is the redaction, which must agree with
+    the oracle byte-for-byte across three chained regexes.
+
+    Scale shape: pure map pass — regexp_extract_all + regexp_replace
+    column expressions, whole-stage codegen, zero shuffles, zero
+    Python; at 100 TB this is a scan-bound single stage."""
+    d = ld(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"),
+                         F.lit("@mail.example for details")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit(" call 415-555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                         F.lit(" today")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.lit(" served from 10.0."), F.col("doc_id") % 256,
+                         F.lit("."), (F.col("doc_id") * 7) % 256,
+                         F.lit(" node")),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ip"),
+        clean.alias("clean_text"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || doc_id || '@mail.example for details'
+           WHEN 1 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+           WHEN 2 THEN ' served from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' node'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       length(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+       length(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+       length(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+FROM seeded
+"""
