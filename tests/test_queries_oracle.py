@@ -30,6 +30,8 @@ SUBSET = [
     "doc_fingerprint", "multimodal_meta", "multimodal_frames",
     "split_quota_sample", "decontaminate",
     "repetition_filter", "tfidf_top_terms", "sessionize",
+    # round-5 additions: RFC 9309 matcher, paragraph dedup, PII scrub
+    "robots_match", "paragraph_dedup", "pii_redact",
 ]
 
 
