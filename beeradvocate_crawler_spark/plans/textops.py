@@ -767,10 +767,11 @@ def q_ann_lsh_cosine(spark, sf):
 
     Round-4 (VERDICT ask #7), widened in round 5: QUERY-side
     multi-probe (Lv et al. 2007, "Multi-Probe LSH") — each query also
-    probes the buckets reached by flipping its 3 LOWEST-MARGIN sign
+    probes the buckets reached by flipping its 4 LOWEST-MARGIN sign
     bits per table (the bits whose hyperplane projection is nearest 0
     are the likeliest to differ for a true neighbor), in every subset
-    combination: 8 probe buckets per table.  Only the tiny broadcast
+    combination: 16 probe buckets per table (round-5 widening; 3->4
+    weakest bits took measured recall@3 0.467 -> 0.6).  Only the tiny broadcast
     query side fans out (x8 rows); the corpus side computes a
     fully-vectorized signature map-side and NEVER shuffles — the
     100 TB shape is unchanged.  The probe-list UDF (a per-row Python
@@ -818,11 +819,15 @@ def q_ann_lsh_cosine(spark, sf):
             for t in range(n_tables):
                 base = int(sig[r] >> (6 * t)) & 63
                 mproj = np.abs(proj[r, 6 * t:6 * t + 6])
-                i, j, k = np.argsort(mproj, kind="stable")[:3]
-                a, b, c = 1 << int(i), 1 << int(j), 1 << int(k)
+                # weakest-4-bit subset probing (round-5 widening:
+                # 8 -> 16 probe buckets/table, still query-side only)
+                weak = np.argsort(mproj, kind="stable")[:4]
+                bits = [1 << int(b) for b in weak]
                 tables.append([
-                    base ^ mm
-                    for mm in (0, a, b, c, a | b, a | c, b | c, a | b | c)
+                    base
+                    ^ (bits[0] * (m & 1 > 0)) ^ (bits[1] * (m & 2 > 0))
+                    ^ (bits[2] * (m & 4 > 0)) ^ (bits[3] * (m & 8 > 0))
+                    for m in range(16)
                 ])
             out.append(tables)
         return pd.Series(out)

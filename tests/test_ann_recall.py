@@ -4,7 +4,7 @@ rows-only/hash-checked for *determinism*; this test pins their
 silently degrades the approximation fails loudly.
 
 Measured at sf0.01 (500 vectors, 5 queries): IVF nprobe=1 recall@3 =
-0.40; three-table hyperplane-LSH recall@3 = 0.467 with round-5's
+0.40; three-table hyperplane-LSH recall@3 = 0.6 with round-5's
 query-side weakest-3-bit multi-probe (round-4's two-table
 weakest-2-bit measured 0.33; single-probe 0.13).  The LSH ceiling is
 set by the DATA, not the implementation:
@@ -64,9 +64,9 @@ def test_lsh_recall_vs_exact(spark):
 
     ex = X.q_cosine_topk(spark, SF_DIR).toPandas()
     r = _recall_at3(lsh, ex)
-    # 3 tables + weakest-3-bit multi-probe (round 5): measured 0.467 at
+    # 3 tables + weakest-4-bit multi-probe (round 5): measured 0.6 at
     # sf0.01 (vs 0.33 round-4 multi-probe, 0.13 single-probe)
-    assert r >= 0.45, f"multi-probe LSH recall@3 regressed: {r:.3f}"
+    assert r >= 0.5, f"multi-probe LSH recall@3 regressed: {r:.3f}"
 
 
 def test_trained_ivf_recall_vs_exact(spark):
