@@ -193,3 +193,124 @@ def write_corpus(
     )
     write_corpus_meta(out_dir, n_buckets, files_per_bucket)
     return out_dir
+
+
+# -- WARC export (egress) -----------------------------------------------------
+
+def write_pages_warc(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Pages rows -> Common-Crawl-shaped ``.warc.gz`` shards (the exact
+    inverse of ``read_pages_warc``): a crawl engine's egress is WARC,
+    the interchange format everything downstream of Common Crawl
+    consumes.
+
+    Faithful to how CC actually lays shards out, because the layout IS
+    the scale contract:
+
+    - **one gzip member per record** (``zlib`` wrapper 31), so shards
+      are member-seekable — ``_gunzip_members`` round-trips them and a
+      downstream range-reader can fetch single records;
+    - **one shard file per task** (``repartition(n_shards)`` then a
+      per-partition writer inside ``mapInPandas`` — Arrow-batched in,
+      a single sequential file out).  100 TB = ~100k shards = ~100k
+      tasks, no driver involvement;
+    - a leading ``warcinfo`` record per shard (readers skip it —
+      ``read_pages_warc`` filters on ``WARC-Type: response``);
+    - each response record frames an HTTP/1.1 response whose body is
+      the ``html`` bytes, headers framed by Content-Length only — a
+      payload containing ``WARC/`` cannot desynchronize a reader.
+
+    Task retries can't publish partial output: shards are written to a
+    dot-temp name and ``os.replace``d into place (atomic on a POSIX
+    directory) only after the last byte is flushed.
+
+    ``text``/``lang`` intentionally do not survive (WARC carries no
+    extracted text; CC publishes that separately as WET — the same
+    asymmetry ``read_pages_warc`` documents).  Returns a small manifest
+    DataFrame (shard, n_records, payload_bytes) — one row per shard,
+    the catalog/lineage unit.
+    """
+    import os
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_shards = n_shards or spark.sparkContext.defaultParallelism
+    os.makedirs(out_dir, exist_ok=True)
+
+    src = (
+        df.select("url", "warc_ts", "html")
+        .repartition(n_shards)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def _gz_member(raw: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)  # one gzip member
+        return co.compress(raw) + co.flush()
+
+    def _record(hdrs: list[tuple[str, str]], block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in hdrs
+        )
+        return head + b"\r\n" + block + b"\r\n\r\n"
+
+    def gen(batches):
+        pid, fh, path, tmp = None, None, None, None
+        n_rec, n_payload = 0, 0
+        for pdf in batches:
+            if fh is None:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+                tmp = os.path.join(out_dir, f".part-{pid:05d}.tmp")
+                fh = open(tmp, "wb")
+                info = b"software: beeradvocate_crawler_spark\r\n"
+                fh.write(_gz_member(_record(
+                    [("WARC-Type", "warcinfo"),
+                     ("Content-Type", "application/warc-fields"),
+                     ("Content-Length", str(len(info)))],
+                    info,
+                )))
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                body = bytes(html) if html is not None else b""
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Length: "
+                    + str(len(body)).encode() + b"\r\n\r\n"
+                )
+                block = http + body
+                # isoformat keeps sub-second digits when present, so
+                # warc_ts round-trips exactly through _warc_date
+                date = (
+                    pd.Timestamp(ts).isoformat() + "Z"
+                    if ts is not None and not pd.isna(ts)
+                    else "1970-01-01T00:00:00Z"
+                )
+                fh.write(_gz_member(_record(
+                    [("WARC-Type", "response"),
+                     ("WARC-Target-URI", str(url)),
+                     ("WARC-Date", date),
+                     ("Content-Type", "application/http; msgtype=response"),
+                     ("Content-Length", str(len(block)))],
+                    block,
+                )))
+                n_rec += 1
+                n_payload += len(body)
+        if fh is not None:
+            fh.flush()
+            os.fsync(fh.fileno())
+            fh.close()
+            os.replace(tmp, path)
+            yield pd.DataFrame(
+                {"shard": [path], "n_records": [n_rec],
+                 "payload_bytes": [n_payload]}
+            )
+
+    manifest = src.mapInPandas(
+        gen, "shard string, n_records long, payload_bytes long"
+    )
+    # the action below materializes the writes; manifest is tiny
+    return manifest

@@ -153,3 +153,70 @@ class TestJsonl:
             for r in rows
         }
         assert got == want
+
+
+class TestWarcExport:
+    """write_pages_warc (egress): the exact inverse of read_pages_warc."""
+
+    def test_export_roundtrip(self, spark, smoke_rows, tmp_path):
+        from beeradvocate_crawler_spark.sources.ingest import write_pages_warc
+
+        src = pages_df(spark, "smoke")
+        out = str(tmp_path / "export")
+        manifest = write_pages_warc(src, out, n_shards=4).collect()
+        assert sum(m["n_records"] for m in manifest) == len(smoke_rows)
+        assert all(m["shard"].endswith(".warc.gz") for m in manifest)
+        got = {
+            r["url"]: (r["warc_ts"], bytes(r["html"]))
+            for r in read_pages_warc(spark, out).collect()
+        }
+        want = {
+            r["url"]: (
+                r["warc_ts"],
+                r["html"] if isinstance(r["html"], bytes) else r["html"].encode(),
+            )
+            for r in smoke_rows
+        }
+        assert got == want  # url, timestamp (sub-second), html all exact
+
+    def test_shards_are_member_seekable(self, spark, smoke_rows, tmp_path):
+        """CC's contract: one gzip member per record, so a range reader
+        can decompress any single record without touching the rest."""
+        import glob
+        import zlib
+
+        from beeradvocate_crawler_spark.sources.ingest import (
+            _iter_warc_records,
+            write_pages_warc,
+        )
+
+        out = str(tmp_path / "export2")
+        write_pages_warc(pages_df(spark, "smoke"), out, n_shards=2).collect()
+        shards = sorted(glob.glob(out + "/part-*.warc.gz"))
+        assert shards
+        total_members = 0
+        for path in shards:
+            data = open(path, "rb").read()
+            members = []
+            while data:
+                d = zlib.decompressobj(47)
+                members.append(d.decompress(data))
+                assert d.eof, "member must be complete"
+                data = d.unused_data
+            # every member standalone parses as EXACTLY one WARC record
+            for m in members:
+                recs = list(_iter_warc_records(m))
+                assert len(recs) == 1
+            total_members += len(members)
+        # one warcinfo member per shard + one member per page
+        assert total_members == len(smoke_rows) + len(shards)
+
+    def test_no_partial_shards_left(self, spark, tmp_path):
+        """The dot-temp + os.replace publish leaves no .tmp residue."""
+        import glob
+
+        from beeradvocate_crawler_spark.sources.ingest import write_pages_warc
+
+        out = str(tmp_path / "export3")
+        write_pages_warc(pages_df(spark, "smoke"), out, n_shards=3).collect()
+        assert not glob.glob(out + "/.part-*.tmp")
