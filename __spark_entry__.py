@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D25 PII redaction (C4/Dolma scrub step, round 5) — pure map
         # pass, three chained regexes identical on both engines
         "pii_redact": X.q_pii_redact,
+        # D26 per-source crawl-ops analytics (round 5) — one hash-agg
+        # with exact interpolated percentiles, footer-stats denominator
+        "host_stats": X.q_host_stats,
         # production fixpoint graph modes (converge-until-delta):
         # iterative, so sanctioned rows-only — the pure-Python twins in
         # tests/test_graph.py pin the masses AND sweep counts
@@ -247,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_match": R.SQL_ROBOTS_MATCH,
         "paragraph_dedup": X.SQL_PARAGRAPH_DEDUP,
         "pii_redact": X.SQL_PII_REDACT,
+        "host_stats": X.SQL_HOST_STATS,
         "corpus_pipeline": X.SQL_CORPUS_PIPELINE,
         "hits_links": G.SQL_HITS,
         "seed_distance": G.SQL_SEED_DISTANCE,

@@ -2097,3 +2097,54 @@ SELECT doc_id,
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
 FROM seeded
 """
+
+
+def q_host_stats(spark, sf):
+    """D26 (round 5): per-source corpus analytics — the crawl-ops
+    dashboard query a frontier operator actually runs (per host/feed:
+    volume, size distribution, language spread, and corpus share) to
+    decide recrawl budgets and spot collapsed extractors (a host whose
+    p50 chars drops 10x is emitting boilerplate).
+
+    Scale shape: ONE hash-agg over (source) — partial aggregation
+    map-side, ~|sources| rows out, so the shuffle is tiny regardless of
+    corpus size.  Exact percentiles ride the same agg (`percentile`
+    with linear interpolation — semantics DuckDB's quantile_cont
+    matches bit-for-bit on integer inputs, which the differential hash
+    proves).  The corpus-share denominator is a parquet-footer stats
+    lookup (`table_rows`), NOT a second scan — the same zero-job N
+    device q_tfidf_top_terms uses."""
+    d = ld(spark, sf, "documents")
+    n_total = table_rows(sf, "documents")
+    if n_total is None:  # non-parquet layout — pay the count once
+        n_total = d.count()
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.95)), 2).alias("p95_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .withColumn(
+            "corpus_share",
+            F.round(F.col("n_docs") / F.lit(float(n_total)), 6),
+        )
+    )
+
+
+SQL_HOST_STATS = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       round(avg(n_chars), 2) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 2) AS p95_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       round(count(*) / (SELECT count(*)::DOUBLE FROM documents), 6)
+         AS corpus_share
+FROM documents
+GROUP BY source
+"""

@@ -243,8 +243,26 @@ def main() -> int:
     except OSError:
         pass
 
+    # Leading newline: Spark's console progress bar redraws with bare
+    # carriage returns, so without it the final stage-progress fragment
+    # shares the JSON's physical line and a line-oriented parse of the
+    # captured tail fails (BENCH_r02 "parsed": null).  flush so the line
+    # survives an immediate process exit.
+    sys.stdout.write("\n" + compact_line(out) + "\n")
+    sys.stdout.flush()
+    return 0
+
+
+def compact_line(out: dict, budget: int = 1900) -> str:
+    """Serialize the record for the driver's bounded stdout tail.
+
+    Never on the line (full values live in BENCH/last_run.json): the
+    warm-pass sweep, the post-crawl box probe, scaling provenance
+    strings.  Then optional blocks are dropped in documented order
+    until the serialization fits ``budget`` — a hard guarantee, not an
+    estimate, because the required driver keys (metric/value/unit/
+    sf/queries) total well under it."""
     line = dict(out)
-    # never on the line (full values live in last_run.json):
     line.pop("queries_same_context", None)
     line.pop("box_post_crawl", None)
     if line.get("scaling"):
@@ -255,21 +273,28 @@ def main() -> int:
             k: sc[k]
             for k in ("pair", "efficiency", "efficiency_per_sample",
                       "pass", "urls_per_sec_N", "urls_per_sec_4N",
-                      "order_hash_equal")
+                      "order_hash_equal",
+                      # when the LATEST run differs from the official
+                      # record (e.g. a box-noise-failed sample), the
+                      # line must carry the official verdict too, or a
+                      # noisy sample reads as an engine regression
+                      "official_efficiency", "stale_official")
             if k in sc
         }
     for drop in ("box", "cache_hygiene", "scaling", "crawl"):
-        if len(json.dumps(line, separators=(",", ":"))) <= 1900:
+        if len(json.dumps(line, separators=(",", ":"))) <= budget:
             break
         line.pop(drop, None)
-    # Leading newline: Spark's console progress bar redraws with bare
-    # carriage returns, so without it the final stage-progress fragment
-    # shares the JSON's physical line and a line-oriented parse of the
-    # captured tail fails (BENCH_r02 "parsed": null).  flush so the line
-    # survives an immediate process exit.
-    sys.stdout.write("\n" + json.dumps(line, separators=(",", ":")) + "\n")
-    sys.stdout.flush()
-    return 0
+    if len(json.dumps(line, separators=(",", ":"))) > budget:
+        # registry grew past what 2-decimal timings fit: coarsen to 1
+        line["queries"] = {k: round(v, 1) for k, v in line["queries"].items()}
+    while len(json.dumps(line, separators=(",", ":"))) > budget:
+        # last resort — an unparseable line loses EVERYTHING, so shed
+        # trailing query entries and say so on the line itself
+        q = line["queries"]
+        q.pop(next(reversed(q)))
+        line["queries_truncated"] = True
+    return json.dumps(line, separators=(",", ":"))
 
 
 def load_scaling_evidence() -> dict | None:

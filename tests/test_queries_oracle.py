@@ -30,8 +30,9 @@ SUBSET = [
     "doc_fingerprint", "multimodal_meta", "multimodal_frames",
     "split_quota_sample", "decontaminate",
     "repetition_filter", "tfidf_top_terms", "sessionize",
-    # round-5 additions: RFC 9309 matcher, paragraph dedup, PII scrub
-    "robots_match", "paragraph_dedup", "pii_redact",
+    # round-5 additions: RFC 9309 matcher, paragraph dedup, PII scrub,
+    # per-source crawl-ops analytics
+    "robots_match", "paragraph_dedup", "pii_redact", "host_stats",
 ]
 
 
