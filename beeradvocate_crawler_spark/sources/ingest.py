@@ -252,8 +252,15 @@ def write_pages_warc(
         return co.compress(raw) + co.flush()
 
     def _record(hdrs: list[tuple[str, str]], block: bytes) -> bytes:
+        # header values must never carry CR/LF: a crafted url could
+        # otherwise inject headers / desynchronize record framing —
+        # percent-encode the two bytes (RFC 3986 never emits them, so
+        # canonicalized urls are unchanged)
         head = b"WARC/1.0\r\n" + b"".join(
-            f"{k}: {v}\r\n".encode() for k, v in hdrs
+            "{}: {}\r\n".format(
+                k, v.replace("\r", "%0D").replace("\n", "%0A")
+            ).encode()
+            for k, v in hdrs
         )
         return head + b"\r\n" + block + b"\r\n\r\n"
 

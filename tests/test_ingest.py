@@ -220,3 +220,35 @@ class TestWarcExport:
         out = str(tmp_path / "export3")
         write_pages_warc(pages_df(spark, "smoke"), out, n_shards=3).collect()
         assert not glob.glob(out + "/.part-*.tmp")
+
+    def test_crlf_url_cannot_desync_framing(self, spark, tmp_path):
+        """A url carrying CR/LF must not inject headers or break the
+        Content-Length framing of neighboring records."""
+        import pandas as pd
+
+        from beeradvocate_crawler_spark.sources.ingest import write_pages_warc
+
+        rows = [
+            ("https://a.example/ok", b"<html>fine</html>"),
+            ("https://evil.example/x\r\nWARC-Type: warcinfo", b"<html>inj</html>"),
+            ("https://b.example/also-ok", b"<html>after</html>"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "url": [u for u, _ in rows],
+                "warc_ts": pd.to_datetime(["2024-06-01"] * 3),
+                "html": [h for _, h in rows],
+                "text": [None] * 3,
+                "lang": [None] * 3,
+            })
+        )
+        out = str(tmp_path / "crlf")
+        man = write_pages_warc(df, out, n_shards=1).collect()
+        assert sum(m["n_records"] for m in man) == 3
+        got = {r["url"]: bytes(r["html"])
+               for r in read_pages_warc(spark, out).collect()}
+        # all three records survive; the CR/LF is percent-encoded in
+        # the stored target URI, neighbors are byte-exact
+        assert got["https://a.example/ok"] == b"<html>fine</html>"
+        assert got["https://b.example/also-ok"] == b"<html>after</html>"
+        assert got["https://evil.example/x%0D%0AWARC-Type: warcinfo"] == b"<html>inj</html>"
